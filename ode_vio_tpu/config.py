@@ -1,0 +1,195 @@
+"""Typed configuration — the single source of truth for train and eval.
+
+Re-designs the reference's flat argparse flag system
+(/root/reference/scripts/config.py:5-82, duplicated with drifted defaults in
+scripts/test_model.py:11-74) as one frozen dataclass shared by every entry
+point. Every knob of the reference is preserved; TPU-specific knobs
+(mesh shape, dtypes, solver unroll mode) are additive.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Sequence
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Continuous-time solver operating point.
+
+    Reference operating points: ODE-RNN trains with dopri5, atol 1e-6,
+    rtol 1e-2, dt0 1e-4 (PoseODERNN.py:57,72); CDE with dopri5, atol 1e-6,
+    rtol 1e-4 (PoseCDE.py:101).
+    """
+
+    method: str = "dopri5"  # euler | heun | midpoint | bosh3 | rk4 | tsit5 | dopri5
+    rtol: float = 1e-2
+    atol: float = 1e-6
+    dt0: float = 1e-4
+    max_steps: int = 64          # bound for the bounded-scan differentiable mode
+    adaptive: bool = True        # False -> fixed-step with `fixed_steps` per interval
+    fixed_steps: int = 4
+    # 'bounded' = reverse-differentiable masked lax.scan (training);
+    # 'while'   = lax.while_loop, fastest, forward-only (inference);
+    # 'adjoint' = continuous adjoint via jax.custom_vjp (O(1) memory training).
+    unroll_mode: str = "bounded"
+    safety: float = 0.9          # step controller safety factor
+    factor_min: float = 0.2      # max step shrink per step (torchdiffeq dfactor)
+    factor_max: float = 10.0     # max step growth per step (torchdiffeq ifactor)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Model family and architecture hyperparameters.
+
+    Mirrors the reference's model flags (scripts/config.py:29,50-81) and the
+    module shapes in src/models/ (Encoder.py, PoseODERNN.py, PoseCDE.py).
+    """
+
+    model_type: str = "ode-rnn"  # ode-rnn | rnn | cde | rde | ltc | cfc
+    img_w: int = 512
+    img_h: int = 256
+    v_f_len: int = 512           # visual feature length
+    i_f_len: int = 256           # inertial feature length
+    imu_dropout: float = 0.0
+    seq_len: int = 11            # images per window
+    fuse_method: str = "cat"     # cat | soft | hard
+
+    # ODE core (scripts/config.py:62-66)
+    ode_hidden_dim: int = 512
+    ode_fn_num_layers: int = 3
+    ode_activation_fn: str = "tanh"  # tanh | relu | leaky_relu | softplus
+
+    # RNN core (scripts/config.py:68-72)
+    ode_rnn_type: str = "rnn"    # rnn | gru
+    rnn_num_layers: int = 2
+    rnn_hidden_dim: int = 1024   # used by NCP wiring
+    rnn_dropout_out: float = 0.0
+
+    # CDE core (scripts/config.py:74-81)
+    cde_hidden_dim: int = 128
+    cde_fn_num_layers: int = 3
+    cde_num_layers: int = 3
+    cde_activation_fn: str = "tanh"
+    cde_solver: str = "dopri5"
+    adjoint: bool = False
+    cde_interpolation: str = "linear"   # linear | cubic  (cubic-Hermite control path)
+    # TPU-native streaming eval: the reference grows an unbounded history
+    # path at eval (PoseCDE.py:87-92); we carry a fixed-size knot buffer.
+    cde_history_cap: int = 256
+
+    # RDE (PoseRDE.py:69-70)
+    logsig_depth: int = 2
+    logsig_window: int = 20
+
+    # TPU numerics: encoders run in `compute_dtype`, solver state in float32.
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    @property
+    def f_len(self) -> int:
+        return self.v_f_len + self.i_f_len
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset paths, windowing and irregularity injection.
+
+    Mirrors KITTI_dataset.py:20-138 and the augmentation flags
+    (scripts/config.py:45-58).
+    """
+
+    data_dir: str = "./dataset"
+    train_seq: Sequence[str] = ("00", "01", "02", "04", "08", "09")
+    val_seq: Sequence[str] = ("05", "07", "10")
+    seq_len: int = 11
+    imu_freq: int = 10           # IMU rows per image interval (IMU_FREQ)
+    data_dropout: float = 0.0    # train-time random frame-drop probability
+    data_dropout_std: float = 0.0
+    eval_data_dropout: float = 0.0
+    hflip: bool = False
+    color: bool = False
+    normalize: bool = False
+    workers: int = 8
+    shuffle: bool = True
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimisation schedule (scripts/config.py:30-43, train_model.py:25-35)."""
+
+    optimizer: str = "adam"      # adam | sgd
+    batch_size: int = 16
+    grad_accumulation_steps: int = 1
+    weight_decay: float = 5e-5
+    epochs_warmup: int = 20
+    epochs_joint: int = 40
+    epochs_fine: int = 40
+    lr_warmup: float = 1e-4
+    lr_joint: float = 1e-5
+    lr_fine: float = 1e-6
+    gradient_clip: float = 5.0
+    freeze_encoder: bool = False
+    seed: int = 0
+    print_frequency: int = 10
+    ckpt_every: int = 2          # save every N epochs (train_model.py:223)
+    angle_loss_weight: float = 100.0  # loss = 100*MSE(rot)+MSE(trans)
+
+    @property
+    def total_epochs(self) -> int:
+        return self.epochs_warmup + self.epochs_joint + self.epochs_fine
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """SPMD device mesh. Replaces the reference's vestigial
+    nn.DataParallel wrapper (train_model.py:200-201) with an explicit
+    jax.sharding.Mesh; the batch axis shards over `data`, weights may shard
+    over `model` (unused by default for this model scale, but structured so
+    larger encoders can add model parallelism without redesign)."""
+
+    data_axis: int = -1          # -1 = all available devices
+    model_axis: int = 1
+    axis_names: Sequence[str] = ("data", "model")
+
+
+@dataclass(frozen=True)
+class Config:
+    experiment_name: str = "experiment"
+    save_dir: str = "./results"
+    pretrain: str | None = None          # checkpoint to resume/eval from
+    pretrain_flownet: str | None = None  # torch FlowNet-S weights to convert
+    run_times: int = 1                   # eval repetitions (test_model.py:101)
+    wandb: bool = False
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    cde_solver_cfg: SolverConfig = field(
+        default_factory=lambda: SolverConfig(rtol=1e-4, atol=1e-6)
+    )
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def flagship_config() -> Config:
+    """The canonical ODE-VIO training configuration
+    (scripts/run_training.sh: softplus activation, 2 ODE-fn layers,
+    3 RNN layers, ode_hidden 1024, soft fusion, frozen encoder)."""
+    return Config(
+        model=ModelConfig(
+            model_type="ode-rnn",
+            ode_activation_fn="softplus",
+            ode_fn_num_layers=2,
+            ode_hidden_dim=1024,
+            rnn_num_layers=3,
+            fuse_method="soft",
+        ),
+        train=TrainConfig(freeze_encoder=True),
+        data=DataConfig(data_dropout=0.3, data_dropout_std=0.1,
+                        eval_data_dropout=0.3),
+    )
