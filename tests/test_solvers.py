@@ -1,0 +1,257 @@
+"""Solver-core tests: closed-form ODE accuracy, convergence order, gradient
+correctness (bounded scan vs finite differences vs continuous adjoint),
+batched per-sample adaptivity, and mode equivalence."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ode_vio_tpu.ops.solvers import SolverOptions, solve_at, solve_ivp, solve_ivp_adjoint
+from ode_vio_tpu.ops.solvers.odeint import rk_step
+from ode_vio_tpu.ops.solvers.tableaus import TABLEAUS, get_tableau
+
+DECAY = -0.7
+
+
+def f_decay(t, y):
+    return DECAY * y
+
+
+def f_oscillator(t, y):
+    # y = (q, p): q' = p, p' = -q  -> q(t) = cos t with q0=1, p0=0
+    return jnp.stack([y[1], -y[0]])
+
+
+class TestAccuracy:
+    # order-2 methods carry a 1st-order embedded error estimate, so their
+    # step count scales ~ rtol^-1/2: test them at a looser tolerance.
+    @pytest.mark.parametrize(
+        "method,rtol,check", [("dopri5", 1e-5, 1e-4), ("tsit5", 1e-5, 1e-4),
+                              ("bosh3", 1e-5, 1e-4), ("heun", 1e-4, 3e-3),
+                              ("midpoint", 1e-4, 3e-3)]
+    )
+    @pytest.mark.parametrize("mode", ["while", "bounded"])
+    def test_exponential_decay(self, method, rtol, check, mode):
+        opts = SolverOptions(method=method, rtol=rtol, atol=1e-7,
+                             unroll_mode=mode, max_steps=256, dt0=0.01)
+        y0 = jnp.ones(3)
+        y1, stats = jax.jit(lambda y: solve_ivp(f_decay, y, 0.0, 2.0, opts))(y0)
+        np.testing.assert_allclose(np.asarray(y1), np.exp(DECAY * 2.0), rtol=check)
+        assert int(stats.accepted) > 0
+
+    def test_harmonic_oscillator(self):
+        opts = SolverOptions(rtol=1e-6, atol=1e-8, max_steps=512, dt0=0.01,
+                             unroll_mode="while")
+        y0 = jnp.array([1.0, 0.0])
+        ys, _ = solve_at(f_oscillator, y0, jnp.linspace(0.0, 2 * np.pi, 9), opts)
+        expected_q = np.cos(np.linspace(0.0, 2 * np.pi, 9)[1:])
+        np.testing.assert_allclose(np.asarray(ys[:, 0]), expected_q, atol=5e-4)
+
+    def test_fixed_step_rk4_convergence_order(self):
+        # halving dt must reduce error ~16x for a 4th-order method
+        errs = []
+        for n in (8, 16):
+            opts = SolverOptions(method="rk4", adaptive=False, fixed_steps=n)
+            y1, _ = solve_ivp(f_decay, jnp.ones(()), 0.0, 2.0, opts)
+            errs.append(abs(float(y1) - np.exp(DECAY * 2.0)))
+        order = np.log2(errs[0] / errs[1])
+        assert 3.5 < order < 4.8
+
+    def test_fixed_step_euler(self):
+        opts = SolverOptions(method="euler", adaptive=False, fixed_steps=1000)
+        y1, stats = solve_ivp(f_decay, jnp.ones(()), 0.0, 1.0, opts)
+        np.testing.assert_allclose(float(y1), np.exp(DECAY), rtol=1e-3)
+        assert int(stats.accepted) == 1000
+
+    def test_euler_adaptive_raises(self):
+        opts = SolverOptions(method="euler", adaptive=True)
+        with pytest.raises(ValueError, match="no embedded error"):
+            solve_ivp(f_decay, jnp.ones(()), 0.0, 1.0, opts)
+
+    def test_zero_length_interval(self):
+        y0 = jnp.arange(4.0)
+        y1, stats = solve_ivp(f_decay, y0, 1.0, 1.0, SolverOptions(unroll_mode="while"))
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0))
+        assert int(stats.total) == 0
+
+    def test_pytree_state(self):
+        func = lambda t, y: {"a": DECAY * y["a"], "b": -y["b"]}
+        y0 = {"a": jnp.ones(2), "b": jnp.ones(3)}
+        y1, _ = solve_ivp(func, y0, 0.0, 1.0,
+                          SolverOptions(rtol=1e-5, atol=1e-7, max_steps=128))
+        np.testing.assert_allclose(np.asarray(y1["a"]), np.exp(DECAY), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(y1["b"]), np.exp(-1.0), rtol=1e-4)
+
+
+class TestModes:
+    def test_bounded_matches_while_exactly(self):
+        """The masked scan must produce the identical step sequence to the
+        while loop (same iterates, just padded)."""
+        y0 = jnp.array([1.0, -0.5, 2.0])
+        for method in ("dopri5", "tsit5"):
+            w = SolverOptions(method=method, unroll_mode="while", max_steps=64,
+                              rtol=1e-3, atol=1e-6, dt0=1e-3)
+            b = dataclasses.replace(w, unroll_mode="bounded")
+            yw, sw = solve_ivp(f_decay, y0, 0.0, 1.5, w)
+            yb, sb = solve_ivp(f_decay, y0, 0.0, 1.5, b)
+            np.testing.assert_array_equal(np.asarray(yw), np.asarray(yb))
+            assert int(sw.accepted) == int(sb.accepted)
+            assert int(sw.rejected) == int(sb.rejected)
+
+    def test_max_steps_bound_respected(self):
+        opts = SolverOptions(max_steps=3, unroll_mode="while", dt0=1e-6)
+        _, stats = solve_ivp(f_decay, jnp.ones(()), 0.0, 10.0, opts)
+        assert int(stats.total) == 3
+
+
+class TestBatching:
+    def test_vmap_per_sample_intervals(self):
+        """Each batch element integrates its own [t0, t1] with its own
+        adaptive step sequence (torchode's key capability)."""
+        opts = SolverOptions(rtol=1e-5, atol=1e-7, max_steps=256, dt0=0.01,
+                             unroll_mode="while")
+        t1s = jnp.array([0.5, 1.0, 2.0, 4.0])
+        y0s = jnp.ones((4, 2))
+
+        batched = jax.vmap(lambda y, t1: solve_ivp(f_decay, y, 0.0, t1, opts))
+        ys, stats = jax.jit(batched)(y0s, t1s)
+        expected = np.tile(np.exp(DECAY * np.asarray(t1s))[:, None], (1, 2))
+        np.testing.assert_allclose(np.asarray(ys), expected, rtol=1e-4)
+        # longer intervals must take more accepted steps
+        acc = np.asarray(stats.accepted)
+        assert acc[3] > acc[0]
+
+    def test_vmap_matches_loop(self):
+        opts = SolverOptions(rtol=1e-4, atol=1e-7, max_steps=128, dt0=0.01)
+        y0s = jnp.array([[1.0], [2.0], [-1.0]])
+        t1s = jnp.array([0.3, 0.9, 1.7])
+        ys_v, _ = jax.vmap(lambda y, t1: solve_ivp(f_decay, y, 0.0, t1, opts))(y0s, t1s)
+        for k in range(3):
+            yk, _ = solve_ivp(f_decay, y0s[k], 0.0, t1s[k], opts)
+            np.testing.assert_allclose(np.asarray(ys_v[k]), np.asarray(yk), rtol=1e-6)
+
+
+class TestGradients:
+    def test_grad_matches_finite_difference(self):
+        opts = SolverOptions(rtol=1e-6, atol=1e-9, max_steps=256, dt0=0.01)
+
+        def loss(theta):
+            func = lambda t, y: theta * y
+            y1, _ = solve_ivp(func, jnp.ones(()), 0.0, 1.0, opts)
+            return y1
+
+        theta = -0.4
+        g = float(jax.grad(loss)(jnp.asarray(theta)))
+        # d/dtheta e^theta = e^theta
+        np.testing.assert_allclose(g, np.exp(theta), rtol=1e-3)
+        eps = 1e-3
+        fd = (float(loss(jnp.asarray(theta + eps))) -
+              float(loss(jnp.asarray(theta - eps)))) / (2 * eps)
+        np.testing.assert_allclose(g, fd, rtol=1e-3)
+
+    def test_grad_wrt_y0(self):
+        opts = SolverOptions(rtol=1e-6, atol=1e-9, max_steps=256, dt0=0.01)
+
+        def loss(y0):
+            y1, _ = solve_ivp(f_decay, y0, 0.0, 2.0, opts)
+            return jnp.sum(y1)
+
+        g = float(jax.grad(loss)(jnp.ones(())))
+        np.testing.assert_allclose(g, np.exp(DECAY * 2.0), rtol=1e-3)
+
+    def test_adjoint_matches_direct(self):
+        opts = SolverOptions(rtol=1e-7, atol=1e-10, max_steps=512, dt0=0.01)
+        func = lambda t, y, args: jnp.tanh(args["w"] @ y + args["b"])
+        key = jax.random.PRNGKey(0)
+        args = {
+            "w": 0.5 * jax.random.normal(key, (3, 3)),
+            "b": jnp.zeros(3),
+        }
+        y0 = jnp.array([0.3, -0.2, 0.1])
+
+        def loss_adj(a):
+            return jnp.sum(solve_ivp_adjoint(func, opts, y0, 0.0, 1.0, a) ** 2)
+
+        def loss_dir(a):
+            y1, _ = solve_ivp(lambda t, y: func(t, y, a), y0, 0.0, 1.0, opts)
+            return jnp.sum(y1 ** 2)
+
+        g_adj = jax.grad(loss_adj)(args)
+        g_dir = jax.grad(loss_dir)(args)
+        np.testing.assert_allclose(
+            np.asarray(g_adj["w"]), np.asarray(g_dir["w"]), rtol=2e-3, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_adj["b"]), np.asarray(g_dir["b"]), rtol=2e-3, atol=1e-5
+        )
+
+    def test_grad_through_solve_at(self):
+        opts = SolverOptions(rtol=1e-6, atol=1e-9, max_steps=128, dt0=0.01)
+
+        def loss(theta):
+            func = lambda t, y: theta * y
+            ys, _ = solve_at(func, jnp.ones(()), jnp.array([0.0, 0.5, 1.0]), opts)
+            return ys[-1]
+
+        g = float(jax.grad(loss)(jnp.asarray(-0.3)))
+        np.testing.assert_allclose(g, np.exp(-0.3), rtol=1e-3)
+
+
+class TestTableaus:
+    def test_consistency_conditions(self):
+        """b coefficients sum to 1; stage rows sum to c (standard RK
+        consistency)."""
+        for name, tab in TABLEAUS.items():
+            assert abs(sum(tab.b_sol) - 1.0) < 1e-12, name
+            for i, row in enumerate(tab.a):
+                assert abs(sum(row) - tab.c[i]) < 1e-9, (name, i)
+            if tab.b_err is not None:
+                # b_err = b - bhat with sum(bhat) = 1 -> sums to 0
+                assert abs(sum(tab.b_err)) < 1e-9, name
+            if tab.fsal:
+                assert tuple(tab.a[-1]) == tuple(tab.b_sol[:-1]), name
+
+    def test_single_step_order(self):
+        """One dopri5 step on y'=y over dt has error O(dt^6).
+
+        Needs float64: the true local error (~1e-10 at dt=0.1) is below
+        float32 resolution.
+        """
+        tab = get_tableau("dopri5")
+        func = lambda t, y: y
+        errs = []
+        with jax.enable_x64():
+            for dt in (0.2, 0.1):
+                y1, _, _ = rk_step(
+                    func, jnp.asarray(0.0, jnp.float64),
+                    jnp.ones((), jnp.float64), jnp.asarray(dt, jnp.float64), tab
+                )
+                errs.append(abs(float(y1) - np.exp(dt)))
+        assert np.log2(errs[0] / errs[1]) > 5.0
+
+    def test_alias(self):
+        assert get_tableau("runge_kutta").name == "rk4"
+
+
+class TestSolveAt:
+    def test_values_and_stats(self):
+        opts = SolverOptions(rtol=1e-5, atol=1e-8, max_steps=256, dt0=0.01)
+        ts = jnp.array([0.0, 0.3, 0.8, 1.0, 2.5])
+        ys, stats = solve_at(f_decay, jnp.ones(()), ts, opts)
+        np.testing.assert_allclose(
+            np.asarray(ys), np.exp(DECAY * np.asarray(ts[1:])), rtol=1e-4
+        )
+        assert int(stats.accepted) > 3
+
+    def test_warm_restart_cheaper_than_cold(self):
+        """Carrying dt across segments must not blow up the step count
+        relative to a single long solve."""
+        opts = SolverOptions(rtol=1e-4, atol=1e-7, max_steps=512, dt0=1e-4,
+                             unroll_mode="while")
+        ts = jnp.linspace(0.0, 2.0, 11)
+        _, s_multi = solve_at(f_decay, jnp.ones(()), ts, opts)
+        _, s_single = solve_ivp(f_decay, jnp.ones(()), 0.0, 2.0, opts)
+        assert int(s_multi.total) < 4 * int(s_single.total) + 40
