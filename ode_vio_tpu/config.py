@@ -82,6 +82,12 @@ class ModelConfig:
     # RDE (PoseRDE.py:69-70)
     logsig_depth: int = 2
     logsig_window: int = 20
+    # Channel count of the reduced path fed to the log-signature. The
+    # reference's dims are internally inconsistent (its CDE field expects
+    # cde_hidden+1 channels, PoseRDE.py:48, but the logsig of a 769-channel
+    # path has ~296k channels, PoseRDE.py:88); a small reduced dim keeps
+    # logsig_dim = d + d(d-1)/2 tractable.
+    rde_reduced_dim: int = 8
 
     # TPU numerics: encoders run in `compute_dtype`, solver state in float32.
     compute_dtype: str = "bfloat16"

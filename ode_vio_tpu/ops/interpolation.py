@@ -1,0 +1,117 @@
+"""Continuous control paths for neural CDEs (torchcde replacement).
+
+Provides the reference's `torchcde.linear_interpolation_coeffs` /
+`LinearInterpolation` / `cdeint` capability
+(/root/reference/src/models/PoseCDE.py:94-101, PoseRDE.py:97-106) plus the
+cubic-Hermite control path (torchcde's
+``hermite_cubic_coefficients_with_backward_differences``), as pure
+shape-static JAX ops.
+
+A path is a NamedTuple of knot times and per-segment polynomial
+coefficients; ``evaluate``/``derivative`` locate the segment with a
+branchless ``searchsorted`` + ``clip`` so they are cheap inside solver
+loops. CDE integration reduces the CDE to an ODE ``z' = g(z) @ dX/dt``
+solved on the shared solver core (SURVEY.md section 7, step 3).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ode_vio_tpu.ops.solvers.odeint import SolverOptions, Stats, solve_at
+
+
+class InterpolatedPath(NamedTuple):
+    """Piecewise-cubic path ``X(t) = a + b*s + c*s^2 + d*s^3`` with
+    ``s = t - ts[k]`` on segment ``k``. Linear paths simply have zero
+    ``c``/``d``. Coefficient arrays have shape ``(T-1, C)``."""
+
+    ts: jnp.ndarray  # (T,) knot times, strictly ascending
+    a: jnp.ndarray   # (T-1, C)
+    b: jnp.ndarray
+    c: jnp.ndarray
+    d: jnp.ndarray
+
+    @property
+    def t0(self) -> jnp.ndarray:
+        return self.ts[0]
+
+    @property
+    def t1(self) -> jnp.ndarray:
+        return self.ts[-1]
+
+    def _segment(self, t):
+        k = jnp.searchsorted(self.ts, t, side="right") - 1
+        k = jnp.clip(k, 0, self.ts.shape[0] - 2)
+        return k, t - self.ts[k]
+
+    def evaluate(self, t) -> jnp.ndarray:
+        """X(t); clamps outside [t0, t1] to the boundary polynomials."""
+        k, s = self._segment(t)
+        return ((self.d[k] * s + self.c[k]) * s + self.b[k]) * s + self.a[k]
+
+    def derivative(self, t) -> jnp.ndarray:
+        """dX/dt at t."""
+        k, s = self._segment(t)
+        return (3.0 * self.d[k] * s + 2.0 * self.c[k]) * s + self.b[k]
+
+
+def linear_path(ts: jnp.ndarray, xs: jnp.ndarray) -> InterpolatedPath:
+    """Piecewise-linear interpolation of observations ``xs`` (T, C) at knot
+    times ``ts`` (T,) — `torchcde.linear_interpolation_coeffs` parity."""
+    dt = (ts[1:] - ts[:-1])[:, None]
+    b = (xs[1:] - xs[:-1]) / dt
+    zeros = jnp.zeros_like(b)
+    return InterpolatedPath(ts=ts, a=xs[:-1], b=b, c=zeros, d=zeros)
+
+
+def cubic_hermite_path(ts: jnp.ndarray, xs: jnp.ndarray) -> InterpolatedPath:
+    """C^1 cubic-Hermite spline with backward-difference knot derivatives
+    (torchcde's recommended smooth control path; BASELINE.json north star).
+
+    Knot derivative ``m_k = (x_k - x_{k-1}) / (t_k - t_{k-1})`` with
+    ``m_0 = m_1`` so the first segment degrades gracefully.
+    """
+    dt = ts[1:] - ts[:-1]
+    diffs = (xs[1:] - xs[:-1]) / dt[:, None]          # (T-1, C)
+    m = jnp.concatenate([diffs[:1], diffs], axis=0)   # (T, C) backward diffs
+    m0, m1 = m[:-1], m[1:]
+    x0, x1 = xs[:-1], xs[1:]
+    h = dt[:, None]
+    # Hermite basis on s in [0, h]
+    c = (3.0 * (x1 - x0) / h - 2.0 * m0 - m1) / h
+    d = (2.0 * (x0 - x1) / h + m0 + m1) / (h * h)
+    return InterpolatedPath(ts=ts, a=x0, b=m0, c=c, d=d)
+
+
+def make_path(ts, xs, kind: str = "linear") -> InterpolatedPath:
+    if kind == "linear":
+        return linear_path(ts, xs)
+    if kind == "cubic":
+        return cubic_hermite_path(ts, xs)
+    raise ValueError(f"unknown interpolation '{kind}'")
+
+
+def cdeint(
+    path: InterpolatedPath,
+    func: Callable[[jnp.ndarray], jnp.ndarray],
+    z0: jnp.ndarray,
+    ts_eval: jnp.ndarray,
+    opts: SolverOptions = SolverOptions(),
+) -> tuple[jnp.ndarray, Stats]:
+    """Integrate the neural CDE ``dz = func(z) dX(t)`` and return ``z`` at
+    each ``ts_eval[i]`` (torchcde ``cdeint`` parity, PoseCDE.py:101).
+
+    ``func(z) -> (H, C)`` is the CDE vector field; the CDE reduces to the
+    ODE ``z' = func(z) @ X'(t)`` solved on the shared RK core, so every
+    solver method / controller / gradient mode applies unchanged.
+    """
+
+    def ode_func(t, z):
+        return func(z) @ path.derivative(t)
+
+    ts = jnp.concatenate([jnp.reshape(path.t0, (1,)), jnp.asarray(ts_eval)])
+    return solve_at(ode_func, z0, ts, opts)
