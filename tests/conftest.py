@@ -7,7 +7,10 @@ available in CI (SURVEY.md section 4 test strategy).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment selects the tunneled TPU backend
+# (JAX_PLATFORMS=axon), which would make every test compile over the
+# tunnel. Tests must be hermetic and multi-device (8 virtual CPU devices).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
