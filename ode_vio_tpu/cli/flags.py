@@ -1,0 +1,185 @@
+"""One shared CLI flag set building the typed Config.
+
+Fixes the reference's duplicated-and-drifted argparse blocks
+(/root/reference/scripts/config.py:5-82 vs scripts/test_model.py:11-74):
+train and test consume the same parser and the same defaults; every
+reference knob is preserved under the same flag name.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ode_vio_tpu.config import (
+    Config,
+    DataConfig,
+    MeshConfig,
+    ModelConfig,
+    SolverConfig,
+    TrainConfig,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    # paths / experiment
+    p.add_argument("--data_dir", type=str, default="./dataset")
+    p.add_argument("--save_dir", type=str, default="./results")
+    p.add_argument("--experiment_name", type=str, default="experiment")
+    p.add_argument("--pretrain", type=str, default=None,
+                   help="checkpoint directory to resume/eval from")
+    p.add_argument("--pretrain_flownet", type=str, default=None,
+                   help="torch FlowNet-S .pth(.tar) to convert and load")
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--run_times", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--print_frequency", type=int, default=10)
+
+    # sequences
+    p.add_argument("--train_seq", type=str, nargs="+",
+                   default=["00", "01", "02", "04", "08", "09"])
+    p.add_argument("--val_seq", type=str, nargs="+", default=["05", "07", "10"])
+
+    # model
+    p.add_argument("--model_type", type=str, default="ode-rnn",
+                   choices=["ode-rnn", "rnn", "cde", "rde", "cfc", "ltc"])
+    p.add_argument("--img_w", type=int, default=512)
+    p.add_argument("--img_h", type=int, default=256)
+    p.add_argument("--v_f_len", type=int, default=512)
+    p.add_argument("--i_f_len", type=int, default=256)
+    p.add_argument("--imu_dropout", type=float, default=0.0)
+    p.add_argument("--seq_len", type=int, default=11)
+    p.add_argument("--fuse_method", type=str, default="cat",
+                   choices=["cat", "soft", "hard"])
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+
+    # ODE core
+    p.add_argument("--ode_hidden_dim", type=int, default=512)
+    p.add_argument("--ode_fn_num_layers", type=int, default=3)
+    p.add_argument("--ode_activation_fn", type=str, default="tanh")
+    p.add_argument("--ode_solver", type=str, default="dopri5")
+    p.add_argument("--ode_rtol", type=float, default=1e-2)
+    p.add_argument("--ode_atol", type=float, default=1e-6)
+    p.add_argument("--ode_max_steps", type=int, default=64)
+    p.add_argument("--ode_fixed_step", action="store_true",
+                   help="fixed-step integration (update_method parity)")
+
+    # RNN core
+    p.add_argument("--ode_rnn_type", type=str, default="rnn",
+                   choices=["rnn", "gru"])
+    p.add_argument("--rnn_num_layers", type=int, default=2)
+    p.add_argument("--rnn_hidden_dim", type=int, default=1024)
+    p.add_argument("--rnn_dropout_out", type=float, default=0.0)
+
+    # CDE / RDE core
+    p.add_argument("--cde_hidden_dim", type=int, default=128)
+    p.add_argument("--cde_fn_num_layers", type=int, default=3)
+    p.add_argument("--cde_num_layers", type=int, default=3)
+    p.add_argument("--cde_activation_fn", type=str, default="tanh")
+    p.add_argument("--cde_solver", type=str, default="dopri5")
+    p.add_argument("--cde_interpolation", type=str, default="linear",
+                   choices=["linear", "cubic"])
+    p.add_argument("--adjoint", action="store_true")
+    p.add_argument("--rde_reduced_dim", type=int, default=8)
+
+    # training
+    p.add_argument("--optimizer", type=str, default="Adam")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--grad_accumulation_steps", type=int, default=1)
+    p.add_argument("--freeze_encoder", action="store_true")
+    p.add_argument("--weight_decay", type=float, default=5e-5)
+    p.add_argument("--epochs_warmup", type=int, default=20)
+    p.add_argument("--epochs_joint", type=int, default=40)
+    p.add_argument("--epochs_fine", type=int, default=40)
+    p.add_argument("--lr_warmup", type=float, default=1e-4)
+    p.add_argument("--lr_joint", type=float, default=1e-5)
+    p.add_argument("--lr_fine", type=float, default=1e-6)
+    p.add_argument("--gradient_clip", type=float, default=5.0)
+    p.add_argument("--shuffle", type=lambda s: s.lower() != "false", default=True)
+
+    # irregularity / augmentation
+    p.add_argument("--data_dropout", type=float, default=0.0)
+    p.add_argument("--data_dropout_std", type=float, default=0.0)
+    p.add_argument("--eval_data_dropout", type=float, default=0.0)
+    p.add_argument("--hflip", action="store_true")
+    p.add_argument("--color", action="store_true")
+    p.add_argument("--normalize", action="store_true")
+
+    # mesh
+    p.add_argument("--mesh_data", type=int, default=-1,
+                   help="data-parallel axis size (-1 = all devices)")
+    p.add_argument("--mesh_model", type=int, default=1)
+    return p
+
+
+def config_from_args(args) -> Config:
+    return Config(
+        experiment_name=args.experiment_name,
+        save_dir=args.save_dir,
+        pretrain=args.pretrain,
+        pretrain_flownet=args.pretrain_flownet,
+        run_times=args.run_times,
+        wandb=args.wandb,
+        model=ModelConfig(
+            model_type=args.model_type,
+            img_w=args.img_w, img_h=args.img_h,
+            v_f_len=args.v_f_len, i_f_len=args.i_f_len,
+            imu_dropout=args.imu_dropout, seq_len=args.seq_len,
+            fuse_method=args.fuse_method,
+            ode_hidden_dim=args.ode_hidden_dim,
+            ode_fn_num_layers=args.ode_fn_num_layers,
+            ode_activation_fn=args.ode_activation_fn,
+            ode_rnn_type=args.ode_rnn_type,
+            rnn_num_layers=args.rnn_num_layers,
+            rnn_hidden_dim=args.rnn_hidden_dim,
+            rnn_dropout_out=args.rnn_dropout_out,
+            cde_hidden_dim=args.cde_hidden_dim,
+            cde_fn_num_layers=args.cde_fn_num_layers,
+            cde_num_layers=args.cde_num_layers,
+            cde_activation_fn=args.cde_activation_fn,
+            cde_solver=args.cde_solver,
+            cde_interpolation=args.cde_interpolation,
+            adjoint=args.adjoint,
+            rde_reduced_dim=args.rde_reduced_dim,
+            compute_dtype=args.compute_dtype,
+        ),
+        solver=SolverConfig(
+            method=args.ode_solver, rtol=args.ode_rtol, atol=args.ode_atol,
+            max_steps=args.ode_max_steps, adaptive=not args.ode_fixed_step,
+            unroll_mode="adjoint" if args.adjoint else "bounded",
+        ),
+        cde_solver_cfg=SolverConfig(
+            method=args.cde_solver, rtol=1e-4, atol=1e-6,
+            max_steps=args.ode_max_steps,
+        ),
+        data=DataConfig(
+            data_dir=args.data_dir,
+            train_seq=tuple(args.train_seq), val_seq=tuple(args.val_seq),
+            seq_len=args.seq_len,
+            data_dropout=args.data_dropout,
+            data_dropout_std=args.data_dropout_std,
+            eval_data_dropout=args.eval_data_dropout,
+            hflip=args.hflip, color=args.color, normalize=args.normalize,
+            workers=args.workers, shuffle=args.shuffle,
+        ),
+        train=TrainConfig(
+            optimizer=args.optimizer.lower(),
+            batch_size=args.batch_size,
+            grad_accumulation_steps=args.grad_accumulation_steps,
+            weight_decay=args.weight_decay,
+            epochs_warmup=args.epochs_warmup,
+            epochs_joint=args.epochs_joint,
+            epochs_fine=args.epochs_fine,
+            lr_warmup=args.lr_warmup, lr_joint=args.lr_joint,
+            lr_fine=args.lr_fine,
+            gradient_clip=args.gradient_clip,
+            freeze_encoder=args.freeze_encoder,
+            seed=args.seed,
+            print_frequency=args.print_frequency,
+        ),
+        mesh=MeshConfig(data_axis=args.mesh_data, model_axis=args.mesh_model),
+    )

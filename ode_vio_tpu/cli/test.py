@@ -1,0 +1,67 @@
+"""Evaluation entry point: ``python -m ode_vio_tpu.cli.test --pretrain ...``
+
+Protocol parity with /root/reference/scripts/test_model.py:91-153: repeats
+the full streaming KITTI evaluation ``--run_times`` times (re-rolling the
+stochastic eval frame-dropout each repeat) and writes per-sequence
+mean +/- std to ``summary.txt``, plus trajectory plots and KITTI-format
+pose dumps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+from ode_vio_tpu.cli.flags import build_parser, config_from_args
+from ode_vio_tpu.data.evaluation import KittiEvaluator, summarize_runs
+from ode_vio_tpu.models.deepvio import init_model
+from ode_vio_tpu.training.checkpoint import CheckpointManager
+from ode_vio_tpu.training.loop import make_infer_fn
+from ode_vio_tpu.utils.logging_utils import (
+    setup_experiment_directories,
+    setup_logger,
+)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    dirs = setup_experiment_directories(cfg.save_dir, cfg.experiment_name + "_test")
+    logger = setup_logger(f"test_{cfg.experiment_name}", dirs["logs"])
+
+    model, variables = init_model(cfg, jax.random.PRNGKey(cfg.train.seed))
+    if cfg.pretrain:
+        ckpt = CheckpointManager(cfg.pretrain)
+        latest = ckpt.latest_epoch()
+        name = ckpt.epoch_name(latest) if latest is not None else "best"
+        restored = ckpt.restore(
+            name, {"params": variables["params"],
+                   "batch_stats": variables["batch_stats"]}
+        )
+        variables = restored
+        logger.info("loaded checkpoint %s/%s", cfg.pretrain, name)
+    else:
+        logger.warning("no --pretrain given: evaluating random init")
+
+    infer = make_infer_fn(model, variables)
+    all_runs = []
+    for run in range(cfg.run_times):
+        evaluator = KittiEvaluator(
+            cfg.data.data_dir, cfg.data.val_seq, cfg.data.seq_len,
+            (cfg.model.img_h, cfg.model.img_w), cfg.data.eval_data_dropout,
+            rng=np.random.default_rng(cfg.train.seed + run),
+        )
+        errors = evaluator.eval(infer)
+        all_runs.append(errors)
+        logger.info("run %d: %s", run, errors)
+        if run == 0:
+            evaluator.generate_plots(dirs["graphs"])
+            evaluator.save_text(dirs["poses"])
+
+    summary = summarize_runs(all_runs, cfg.data.val_seq)
+    (dirs["base"] / "summary.txt").write_text(summary + "\n")
+    logger.info("summary:\n%s", summary)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,189 @@
+"""Training entry point: ``python -m ode_vio_tpu.cli.train --data_dir ...``
+
+Epoch driver parity with /root/reference/scripts/train_model.py:163-249:
+fresh dropout-resampled loader per epoch, 3-phase LR, per-epoch KITTI eval
+with best-checkpoint tracking, checkpoints every 2 epochs, optional wandb.
+TPU-native: jitted sharded train step (training/loop.py), device mesh,
+Orbax checkpoints carrying optimizer state + epoch + PRNG key.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ode_vio_tpu.cli.flags import build_parser, config_from_args
+from ode_vio_tpu.config import Config
+from ode_vio_tpu.data.evaluation import KittiEvaluator
+from ode_vio_tpu.data.kitti import BoundarySafeBatchSampler, KittiDataset, collate
+from ode_vio_tpu.data.transforms import get_transforms
+from ode_vio_tpu.models.deepvio import count_parameters, init_model
+from ode_vio_tpu.parallel import create_mesh, shard_batch
+from ode_vio_tpu.training.checkpoint import CheckpointManager
+from ode_vio_tpu.training.loop import (
+    TrainState,
+    create_train_state,
+    lr_for_epoch,
+    make_infer_fn,
+    make_optimizer,
+    make_train_step,
+    set_learning_rate,
+)
+from ode_vio_tpu.utils.logging_utils import setup_experiment_directories, setup_logger
+
+
+def get_train_loader(cfg: Config, epoch: int, logger):
+    """Fresh dataset per epoch with a dropout ratio resampled from
+    N(data_dropout, data_dropout_std) (train_model.py:122-151, 210)."""
+    rng = np.random.default_rng(cfg.train.seed * 100003 + epoch)
+    ratio = float(
+        np.clip(rng.normal(cfg.data.data_dropout, cfg.data.data_dropout_std), 0, 0.9)
+    )
+    logger.info("epoch %d dropout ratio: %.4f", epoch, ratio)
+    transform = get_transforms(
+        (cfg.model.img_h, cfg.model.img_w),
+        hflip=cfg.data.hflip, color=cfg.data.color,
+        normalize=cfg.data.normalize, rng=rng,
+    )
+    ds = KittiDataset(
+        cfg.data.data_dir, cfg.data.seq_len, cfg.data.train_seq,
+        transform=transform, dropout=ratio, rng=rng,
+    )
+    sampler = BoundarySafeBatchSampler(
+        len(ds), cfg.train.batch_size, shuffle=cfg.data.shuffle,
+        seed=cfg.train.seed + epoch, drop_last=True,
+    )
+    return ds, sampler
+
+
+def train_epoch(cfg, ds, sampler, train_step, state, mesh, logger, epoch):
+    losses = []
+    for it, idx in enumerate(sampler):
+        imgs, imus, gts, ts = collate([ds[i] for i in idx])
+        batch = shard_batch(
+            mesh, (jnp.asarray(imgs), jnp.asarray(imus),
+                   jnp.asarray(gts), jnp.asarray(ts))
+        )
+        state, metrics = train_step(state, *batch)
+        losses.append(metrics["loss"])
+        if (it + 1) % cfg.train.print_frequency == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            logger.info(
+                "epoch %d iter %d/%d loss %.6f angle %.6f trans %.6f",
+                epoch, it + 1, len(sampler), m["loss"],
+                m["angle_loss"], m["trans_loss"],
+            )
+    return state, float(np.mean([float(l) for l in losses])) if losses else 0.0
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    dirs = setup_experiment_directories(cfg.save_dir, cfg.experiment_name)
+    logger = setup_logger(f"train_{cfg.experiment_name}", dirs["logs"])
+    logger.info("config: %s", cfg)
+
+    mesh = create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis)
+    logger.info("mesh: %s devices=%s", mesh.shape, jax.devices())
+
+    model, variables = init_model(cfg, jax.random.PRNGKey(cfg.train.seed))
+    logger.info("total parameters: %d", count_parameters(variables))
+
+    if cfg.pretrain_flownet:
+        from ode_vio_tpu.models.convert import (
+            convert_image_encoder,
+            load_torch_checkpoint,
+        )
+
+        sd = load_torch_checkpoint(cfg.pretrain_flownet)
+        conv_hw = (cfg.model.img_h // 64, cfg.model.img_w // 64)
+        p, s = convert_image_encoder(sd, conv_out_hw=conv_hw)
+        enc = dict(variables["params"]["image_encoder"])
+        enc_stats = dict(variables["batch_stats"]["image_encoder"])
+        for k, v in p.items():
+            enc[k] = jax.tree_util.tree_map(
+                lambda new, old: jnp.asarray(new, old.dtype), v, enc.get(k, v)
+            )
+        for k, v in s.items():
+            enc_stats[k] = {
+                kk: jnp.asarray(vv) for kk, vv in {**enc_stats.get(k, {}), **v}.items()
+            }
+        variables = {
+            "params": {**variables["params"], "image_encoder": enc},
+            "batch_stats": {**variables["batch_stats"], "image_encoder": enc_stats},
+        }
+        logger.info("pretrained FlowNet-S loaded from %s", cfg.pretrain_flownet)
+
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, variables, tx, jax.random.PRNGKey(cfg.train.seed + 1))
+    ckpt = CheckpointManager(dirs["checkpoints"])
+
+    init_epoch = 0
+    if cfg.pretrain:
+        resume = CheckpointManager(cfg.pretrain)
+        latest = resume.latest_epoch()
+        if latest is not None:
+            state = resume.restore(resume.epoch_name(latest), state)
+            init_epoch = latest + 1
+            logger.info("resumed from %s epoch %d", cfg.pretrain, latest)
+
+    train_step = make_train_step(model, tx, cfg)
+
+    wandb_run = None
+    if cfg.wandb:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project="ode-vio-tpu",
+                                   name=cfg.experiment_name)
+        except Exception as e:  # wandb not installed / offline
+            logger.warning("wandb unavailable (%s); continuing without", e)
+
+    best = float("inf")
+    for epoch in range(init_epoch, cfg.train.total_epochs):
+        lr = lr_for_epoch(cfg, epoch)
+        state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
+        logger.info("epoch %d lr %g", epoch, lr)
+
+        ds, sampler = get_train_loader(cfg, epoch, logger)
+        t0 = time.time()
+        state, avg_loss = train_epoch(
+            cfg, ds, sampler, train_step, state, mesh, logger, epoch
+        )
+        logger.info("epoch %d done: loss %.6f (%.1fs)", epoch, avg_loss,
+                    time.time() - t0)
+
+        if epoch % cfg.train.ckpt_every == 0:
+            ckpt.save(ckpt.epoch_name(epoch),
+                      jax.device_get(state), {"epoch": epoch})
+
+        # per-epoch KITTI eval (train_model.py:98-119)
+        evaluator = KittiEvaluator(
+            cfg.data.data_dir, cfg.data.val_seq, cfg.data.seq_len,
+            (cfg.model.img_h, cfg.model.img_w), cfg.data.eval_data_dropout,
+            rng=np.random.default_rng(cfg.train.seed + 7919 + epoch),
+        )
+        infer = make_infer_fn(
+            model, {"params": state.params, "batch_stats": state.batch_stats}
+        )
+        errors = evaluator.eval(infer)
+        t_rel = float(np.mean([e["t_rel"] for e in errors]))
+        r_rel = float(np.mean([e["r_rel"] for e in errors]))
+        logger.info("epoch %d eval: t_rel %.4f r_rel %.4f", epoch, t_rel, r_rel)
+        evaluator.generate_plots(dirs["graphs"], tag=f"_{epoch}")
+        if t_rel < best:
+            best = t_rel
+            ckpt.save(f"best_{best:.2f}", jax.device_get(state),
+                      {"epoch": epoch, "t_rel": best})
+        if wandb_run is not None:
+            wandb_run.log({"t_rel": t_rel, "r_rel": r_rel,
+                           "best_t_rel": best, "avg_pose_loss": avg_loss})
+
+    logger.info("training finished, best t_rel %.4f", best)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,279 @@
+"""KITTI odometry evaluation: official segment metric, streaming
+full-sequence inference with hidden-state carry, plots and pose dumps.
+
+Capability parity with /root/reference/src/data/KITTI_eval.py:30-284 and
+the tester protocol in scripts/test_model.py:91-153.
+
+TPU-native notes:
+  * Eval windows are NON-overlapping with one shared boundary frame
+    (stride seq_len-1, KITTI_eval.py:78-91). The reference's ragged tail
+    window would be a dynamic shape; we pad it to the full window and mask
+    the padded predictions — every inference call keeps the same shape, so
+    exactly one compiled executable serves the whole sequence.
+  * The hidden state carries across windows (KITTI_eval.py:124-160), so
+    the effective temporal context is the entire driving sequence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from ode_vio_tpu.data.kitti import (
+    IMU_FREQ,
+    SequenceData,
+    inject_frame_dropout,
+    load_images,
+    load_sequence,
+)
+from ode_vio_tpu.utils import geometry as geo
+
+SEGMENT_LENGTHS = (100, 200, 300, 400, 500, 600, 700, 800)
+SEGMENT_STEP = 10  # evaluate every 10th start frame (KITTI_eval.py:258)
+
+
+# ---------------------------------------------------------------------------
+# Metric
+# ---------------------------------------------------------------------------
+
+def kitti_segment_errors(est_mats, gt_mats):
+    """Per-(start, length) rotation/translation errors per meter over the
+    official segment lengths (KITTI_eval.py:249-284)."""
+    dist, speed = geo.trajectory_distances(gt_mats)
+    errs = []
+    for first in range(0, len(gt_mats), SEGMENT_STEP):
+        for length in SEGMENT_LENGTHS:
+            last = geo.last_frame_from_segment_length(dist, first, length)
+            if last == -1 or last >= len(est_mats) or first >= len(est_mats):
+                continue
+            delta_gt = geo.relative_pose(gt_mats[first], gt_mats[last])
+            delta_est = geo.relative_pose(est_mats[first], est_mats[last])
+            r_err = geo.rotation_error(delta_est, delta_gt)
+            t_err = geo.translation_error(delta_est, delta_gt)
+            errs.append((first, r_err / length, t_err / length, length))
+    return errs, np.asarray(speed)
+
+
+def kitti_eval(pose_est: np.ndarray, pose_gt: np.ndarray) -> dict:
+    """Full KITTI scoring of relative 6-DoF pose streams
+    (KITTI_eval.py:223-246). Returns t_rel [%], r_rel [deg/100m],
+    t_rmse [m], r_rmse [deg], plus the accumulated global trajectories."""
+    t_rmse, r_rmse = geo.rmse_6dof(pose_est, pose_gt)
+    est_mats = geo.accumulate_path(pose_est)
+    gt_mats = geo.accumulate_path(pose_gt)
+    errs, speed = kitti_segment_errors(est_mats, gt_mats)
+    if errs:
+        r_rel = float(np.mean([e[1] for e in errs]))
+        t_rel = float(np.mean([e[2] for e in errs]))
+    else:  # sequence shorter than the smallest segment
+        r_rel = float("nan")
+        t_rel = float("nan")
+    return {
+        "t_rel": t_rel * 100.0,
+        "r_rel": r_rel / np.pi * 180.0 * 100.0,
+        "t_rmse": t_rmse,
+        "r_rmse": r_rmse / np.pi * 180.0,
+        "est_global": est_mats,
+        "gt_global": gt_mats,
+        "speed": speed,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Streaming eval partition
+# ---------------------------------------------------------------------------
+
+@dataclass
+class EvalWindow:
+    imgs: np.ndarray        # (S, H, W, 3) float32 centered
+    imus: np.ndarray        # (10*(S-1)+1, 6)
+    ts: np.ndarray          # (S,)
+    gts: np.ndarray         # (valid, 6)
+    valid: int              # number of real (unpadded) pose transitions
+
+
+class EvalPartition:
+    """One full sequence split into boundary-sharing windows for streaming
+    inference (KITTI_eval.py:30-110), with the ragged tail padded to the
+    static window shape."""
+
+    def __init__(
+        self,
+        data_dir,
+        folder: str,
+        seq_len: int = 11,
+        img_hw=(256, 512),
+        eval_dropout: float = 0.0,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        self.seq_len = seq_len
+        self.img_hw = tuple(img_hw)
+        seq = load_sequence(data_dir, folder)
+        if eval_dropout > 0.0:
+            seq = inject_frame_dropout(
+                seq, eval_dropout, rng or np.random.default_rng()
+            )
+        self.seq = seq
+        self.windows: List[dict] = []
+        n = seq.num_frames
+        start = 0
+        while start + seq_len < n:
+            self._append(seq, start, seq_len)
+            start += seq_len - 1
+        if start < n - 1:  # ragged tail: pad to full window
+            self._append(seq, start, n - start, pad_to=seq_len)
+
+    def _append(self, seq: SequenceData, start: int, length: int,
+                pad_to: Optional[int] = None):
+        S = pad_to or length
+        idx = np.arange(start, start + length)
+        ts = seq.timestamps[idx].astype(np.float32)
+        imus = seq.imus[
+            start * IMU_FREQ : (start + length - 1) * IMU_FREQ + 1
+        ].astype(np.float32)
+        if pad_to is not None and length < S:
+            # pad with synthetic strictly-ascending timestamps and repeated
+            # last IMU row; padded transitions are masked out by `valid`.
+            extra = S - length
+            dt = float(ts[-1] - ts[-2]) if length > 1 else 0.1
+            ts = np.concatenate(
+                [ts, ts[-1] + dt * np.arange(1, extra + 1, dtype=np.float32)]
+            )
+            imus = np.concatenate(
+                [imus, np.repeat(imus[-1:], extra * IMU_FREQ, axis=0)], 0
+            )
+        self.windows.append(
+            {
+                "paths": [seq.img_paths[k] for k in idx],
+                "pad": 0 if pad_to is None else S - length,
+                "ts": ts,
+                "imus": imus,
+                "gts": np.asarray(
+                    seq.rel_poses[start : start + length - 1], np.float32
+                ),
+            }
+        )
+
+    def __len__(self) -> int:
+        return len(self.windows)
+
+    def __getitem__(self, i: int) -> EvalWindow:
+        w = self.windows[i]
+        imgs = load_images(w["paths"], size_hw=self.img_hw) - 0.5
+        if w["pad"]:
+            imgs = np.concatenate(
+                [imgs, np.repeat(imgs[-1:], w["pad"], axis=0)], 0
+            )
+        return EvalWindow(
+            imgs=imgs.astype(np.float32),
+            imus=w["imus"],
+            ts=w["ts"],
+            gts=w["gts"],
+            valid=self.seq_len - 1 - w["pad"],
+        )
+
+
+# ---------------------------------------------------------------------------
+# Tester
+# ---------------------------------------------------------------------------
+
+class KittiEvaluator:
+    """Runs streaming full-sequence inference and the KITTI metric per
+    validation sequence (KITTI_eval.py:113-220).
+
+    ``infer_fn(imgs, imus, ts, carry) -> (poses, carry)`` is any jitted
+    callable with the DeepVIO shape contract on a batch of 1 window.
+    """
+
+    def __init__(
+        self,
+        data_dir,
+        val_seqs: Sequence[str] = ("05", "07", "10"),
+        seq_len: int = 11,
+        img_hw=(256, 512),
+        eval_dropout: float = 0.0,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        self.val_seqs = list(val_seqs)
+        self.partitions = [
+            EvalPartition(data_dir, s, seq_len, img_hw, eval_dropout, rng)
+            for s in self.val_seqs
+        ]
+        self.results: List[dict] = []
+
+    def eval_sequence(self, infer_fn: Callable, part: EvalPartition) -> dict:
+        carry = None
+        chunks = []
+        for i in range(len(part)):
+            w = part[i]
+            poses, carry = infer_fn(
+                w.imgs[None], w.imus[None], w.ts[None], carry
+            )
+            chunks.append(np.asarray(poses)[0, : w.valid])
+        pose_est = np.concatenate(chunks, 0)
+        pose_gt = np.asarray(part.seq.rel_poses[: len(pose_est)], np.float32)
+        return kitti_eval(pose_est, pose_gt)
+
+    def eval(self, infer_fn: Callable) -> List[dict]:
+        self.results = [
+            self.eval_sequence(infer_fn, p) for p in self.partitions
+        ]
+        return [
+            {k: r[k] for k in ("t_rel", "r_rel", "t_rmse", "r_rmse")}
+            for r in self.results
+        ]
+
+    def generate_plots(self, save_dir, tag="") -> None:
+        """Trajectory XZ plots per sequence (KITTI_eval.py:202-212,
+        287-338)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        save_dir = Path(save_dir)
+        save_dir.mkdir(parents=True, exist_ok=True)
+        for seq, res in zip(self.val_seqs, self.results):
+            gt = np.asarray([P[[0, 2], 3] for P in res["gt_global"]])
+            est = np.asarray([P[[0, 2], 3] for P in res["est_global"]])
+            fig, ax = plt.subplots(figsize=(6, 6), dpi=100)
+            ax.plot(gt[:, 0], gt[:, 1], "r-", label="Ground Truth")
+            ax.plot(est[:, 0], est[:, 1], "b-", label="Ours")
+            ax.plot(0, 0, "ko", label="Start")
+            ax.set_xlabel("x (m)")
+            ax.set_ylabel("z (m)")
+            ax.set_aspect("equal")
+            ax.legend(loc="upper right", fontsize=9)
+            ax.set_title(f"seq {seq} trajectory")
+            fig.savefig(save_dir / f"{seq}_path_2d{tag}.png",
+                        bbox_inches="tight", pad_inches=0.1)
+            plt.close(fig)
+
+    def save_text(self, save_dir) -> None:
+        """KITTI-format predicted/gt trajectory dumps
+        (KITTI_eval.py:214-220)."""
+        save_dir = Path(save_dir)
+        save_dir.mkdir(parents=True, exist_ok=True)
+        for seq, res in zip(self.val_seqs, self.results):
+            geo.save_trajectory(res["est_global"], save_dir / f"{seq}_pred.txt")
+            geo.save_trajectory(res["gt_global"], save_dir / f"{seq}_gt.txt")
+
+
+def summarize_runs(all_runs: List[List[dict]], val_seqs: Sequence[str]) -> str:
+    """mean +/- std across repeated stochastic-dropout eval runs
+    (test_model.py:134-153 summary protocol)."""
+    lines = []
+    for i, seq in enumerate(val_seqs):
+        per_metric = {
+            k: np.asarray([run[i][k] for run in all_runs])
+            for k in ("t_rel", "r_rel", "t_rmse", "r_rmse")
+        }
+        stats = ", ".join(
+            f"{k}: {v.mean():.4f} +- {v.std():.4f}" for k, v in per_metric.items()
+        )
+        lines.append(f"seq {seq}: {stats}")
+    return "\n".join(lines)

@@ -1,0 +1,220 @@
+"""PyTorch -> JAX checkpoint conversion.
+
+Two jobs (SURVEY.md section 5.4):
+  * FlowNet-S weight surgery: load the torch FlowNet-S checkpoint the
+    reference warm-starts from (/root/reference/scripts/train_model.py:180-188,
+    key-intersection into the image encoder) into our ImageEncoder params.
+  * Full reference-checkpoint conversion for parity testing: every module's
+    torch ``state_dict`` tensors map onto our param trees.
+
+Layout rules:
+  * Conv2d  OIHW -> HWIO;  Conv1d (O, I, K) -> (K, I, O).
+  * Linear (out, in) -> flax Dense kernel (in, out) [transpose]. The two
+    flatten-boundary Linears (visual_head, inertial proj) additionally need
+    an input-column permutation because torch flattens CHW/CL while we
+    flatten HWC/LC (models/encoders.py).
+  * Our pure-function MLP / RNN-cell params use the torch (out, in) layout
+    natively (ops/mlp.py, ops/rnn_cells.py) and copy through unchanged.
+
+All inputs are plain numpy arrays (callers do
+``{k: v.numpy() for k, v in torch_sd.items()}``), keeping this module
+torch-free.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+# reference conv-trunk names (Encoder.py:82-90) in our block order
+_TRUNK_NAMES = (
+    "conv1", "conv2", "conv3", "conv3_1", "conv4",
+    "conv4_1", "conv5", "conv5_1", "conv6",
+)
+
+
+def _conv2d(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _conv1d(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 1, 0))  # OIK -> KIO
+
+
+def _linear(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w)  # (out, in) -> (in, out)
+
+
+def _chw_to_hwc_permutation(c: int, h: int, w: int) -> np.ndarray:
+    """Column permutation taking a CHW-flattened input index to the HWC
+    position: perm[hwc_index] = chw_index."""
+    chw = np.arange(c * h * w).reshape(c, h, w)
+    return np.transpose(chw, (1, 2, 0)).reshape(-1)
+
+
+def convert_image_encoder(
+    sd: Mapping[str, np.ndarray],
+    conv_out_hw: tuple[int, int] | None = None,
+    prefix: str = "",
+) -> tuple[dict, dict]:
+    """Map reference ImageEncoder / FlowNet-S-bn tensors onto
+    (params, batch_stats) for models.encoders.ImageEncoder.
+
+    Missing keys are skipped (the reference itself loads by key
+    intersection, train_model.py:182-185), so a raw FlowNet-S checkpoint —
+    which has no ``visual_head`` — converts cleanly.
+    ``conv_out_hw`` is the conv-trunk output spatial shape (needed only for
+    the visual_head column permutation; (4, 8) for 256x512 inputs).
+    """
+    params: dict = {}
+    stats: dict = {}
+    for i, name in enumerate(_TRUNK_NAMES):
+        key = f"{prefix}{name}.0.weight"
+        if key not in sd:
+            continue
+        block, bstat = {}, {}
+        block["conv"] = {"kernel": _conv2d(np.asarray(sd[key]))}
+        bn = f"{prefix}{name}.1"
+        block["bn"] = {
+            "scale": np.asarray(sd[f"{bn}.weight"]),
+            "bias": np.asarray(sd[f"{bn}.bias"]),
+        }
+        bstat["bn"] = {
+            "mean": np.asarray(sd[f"{bn}.running_mean"]),
+            "var": np.asarray(sd[f"{bn}.running_var"]),
+        }
+        params[f"block{i}"] = block
+        stats[f"block{i}"] = bstat
+
+    head_w = f"{prefix}visual_head.weight"
+    if head_w in sd:
+        w = _linear(np.asarray(sd[head_w]))  # (in=CHW, out)
+        if conv_out_hw is not None:
+            h, wd = conv_out_hw
+            c = w.shape[0] // (h * wd)
+            w = w[_chw_to_hwc_permutation(c, h, wd)]
+        params["visual_head"] = {
+            "kernel": w,
+            "bias": np.asarray(sd[f"{prefix}visual_head.bias"]),
+        }
+    return params, stats
+
+
+def convert_inertial_encoder(
+    sd: Mapping[str, np.ndarray], prefix: str = ""
+) -> tuple[dict, dict]:
+    """Reference InertialEncoder (Encoder.py:39-58): encoder_conv indices
+    0/4/8 are Conv1d, 1/5/9 are BatchNorm1d, plus the proj Linear."""
+    params: dict = {}
+    stats: dict = {}
+    for j, idx in enumerate((0, 4, 8)):
+        conv = f"{prefix}encoder_conv.{idx}"
+        params[f"conv{j}"] = {
+            "kernel": _conv1d(np.asarray(sd[f"{conv}.weight"])),
+            "bias": np.asarray(sd[f"{conv}.bias"]),
+        }
+        bn = f"{prefix}encoder_conv.{idx + 1}"
+        params[f"bn{j}"] = {
+            "scale": np.asarray(sd[f"{bn}.weight"]),
+            "bias": np.asarray(sd[f"{bn}.bias"]),
+        }
+        stats[f"bn{j}"] = {
+            "mean": np.asarray(sd[f"{bn}.running_mean"]),
+            "var": np.asarray(sd[f"{bn}.running_var"]),
+        }
+    w = _linear(np.asarray(sd[f"{prefix}proj.weight"]))  # (in=C*L, out)
+    c, l = 256, 11  # torch flattens (C, L); we flatten (L, C)
+    w = w[_chw_to_hwc_permutation(c, 1, l)]
+    params["proj"] = {"kernel": w, "bias": np.asarray(sd[f"{prefix}proj.bias"])}
+    return params, stats
+
+
+def convert_mlp(sd: Mapping[str, np.ndarray], prefix: str) -> list:
+    """torch nn.Sequential of Linear(+activation) -> our ops.mlp param list
+    (kept in torch (out, in) layout)."""
+    # Linear layers sit at the even Sequential indices, interleaved with
+    # activations; collect every `<prefix>.<i>.weight` in index order.
+    indices = sorted(
+        int(k[len(prefix) + 1 :].split(".")[0])
+        for k in sd
+        if k.startswith(prefix + ".") and k.endswith(".weight")
+    )
+    return [
+        {
+            "w": np.asarray(sd[f"{prefix}.{i}.weight"]),
+            "b": np.asarray(sd[f"{prefix}.{i}.bias"]),
+        }
+        for i in indices
+    ]
+
+
+def convert_rnn_stack(
+    sd: Mapping[str, np.ndarray], prefix: str, num_layers: int
+) -> list:
+    """torch nn.RNN/nn.GRU flat params -> ops.rnn_cells stack (layout
+    identical)."""
+    return [
+        {
+            "w_ih": np.asarray(sd[f"{prefix}weight_ih_l{k}"]),
+            "w_hh": np.asarray(sd[f"{prefix}weight_hh_l{k}"]),
+            "b_ih": np.asarray(sd[f"{prefix}bias_ih_l{k}"]),
+            "b_hh": np.asarray(sd[f"{prefix}bias_hh_l{k}"]),
+        }
+        for k in range(num_layers)
+    ]
+
+
+def convert_dense(sd: Mapping[str, np.ndarray], key: str) -> dict:
+    return {
+        "kernel": _linear(np.asarray(sd[f"{key}.weight"])),
+        "bias": np.asarray(sd[f"{key}.bias"]),
+    }
+
+
+def convert_regressor(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    """nn.Sequential(Linear, LeakyReLU, Linear) -> PoseRegressor."""
+    return {
+        "fc0": convert_dense(sd, f"{prefix}.0"),
+        "fc1": convert_dense(sd, f"{prefix}.2"),
+    }
+
+
+def convert_deepvio(
+    sd: Mapping[str, np.ndarray],
+    model_type: str,
+    rnn_num_layers: int = 2,
+    conv_out_hw: tuple[int, int] = (4, 8),
+) -> dict:
+    """Full reference DeepVIO state_dict -> our {'params','batch_stats'}
+    variables (pose-core coverage: ode-rnn, rnn)."""
+    img_p, img_s = convert_image_encoder(sd, conv_out_hw, prefix="Image_net.")
+    imu_p, imu_s = convert_inertial_encoder(sd, prefix="Inertial_net.")
+    pose: dict = {}
+    if model_type in ("ode-rnn", "rnn"):
+        if model_type == "ode-rnn":
+            pose["ode_func"] = convert_mlp(sd, "Pose_net.ode_func.net")
+        pose["rnn"] = convert_rnn_stack(sd, "Pose_net.rnn.", rnn_num_layers)
+        pose["regressor"] = convert_regressor(sd, "Pose_net.regressor")
+        if "Pose_net.fuse.net.0.weight" in sd:
+            pose["fuse"] = {"gate": convert_dense(sd, "Pose_net.fuse.net.0")}
+    else:
+        raise NotImplementedError(
+            f"conversion for pose core '{model_type}' not implemented yet"
+        )
+    params = {
+        "image_encoder": img_p,
+        "inertial_encoder": imu_p,
+        "pose_net": pose,
+    }
+    stats = {"image_encoder": img_s, "inertial_encoder": imu_s}
+    return {"params": params, "batch_stats": stats}
+
+
+def load_torch_checkpoint(path) -> Dict[str, np.ndarray]:
+    """Read a .pth/.tar torch checkpoint into numpy (torch CPU build)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    return {k: v.detach().numpy() for k, v in sd.items()}
