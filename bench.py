@@ -1,0 +1,102 @@
+"""Headline benchmark: KITTI frames/sec/chip on the flagship PoseODERNN.
+
+Measures jitted eval-mode streaming inference (adaptive dopri5, bf16
+encoders) at reference dimensions — 256x512 image pairs, seq_len 11,
+768-d fused features, 3-layer ODE-RNN — on the available accelerator.
+"frames" = image-pair transitions regressed to poses (B * (seq_len-1) per
+call), the unit of work of the reference eval loop
+(/root/reference/src/data/KITTI_eval.py:124-160).
+
+vs_baseline: the reference records no throughput numbers anywhere
+(BASELINE.md); its commented CUDA-event timing loop ran single-window
+batch-1 eval on an RTX 3090. We use an estimated 400 frames/s for that
+setup (FlowNet-S forward ~8.6 GFLOP/pair at ~35% fp32 utilisation plus the
+dominant per-step Python/torchode adaptive-solve overhead at ~5-10 ms per
+frame); the estimate and its basis are recorded here so the ratio can be
+re-based once a measured reference number exists.
+
+Prints ONE JSON line to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_RTX3090_FPS_ESTIMATE = 400.0
+
+BATCH = 8
+WARMUP = 2
+ITERS = 10
+
+
+def main() -> None:
+    from ode_vio_tpu.config import flagship_config
+    from ode_vio_tpu.models.deepvio import init_model
+
+    cfg = flagship_config()
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), batch_size=1)
+
+    S = cfg.model.seq_len
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(
+        rng.random((BATCH, S, cfg.model.img_h, cfg.model.img_w, 3), np.float32)
+        - 0.5
+    )
+    imu = jnp.asarray(
+        rng.standard_normal((BATCH, 10 * (S - 1) + 1, 6)), jnp.float32
+    )
+    ts = jnp.asarray(
+        np.cumsum(rng.random((BATCH, S)).astype(np.float32) * 0.05 + 0.08, 1)
+    )
+    carry0 = jnp.zeros(
+        (cfg.model.rnn_num_layers, BATCH, cfg.model.f_len), jnp.float32
+    )
+
+    @jax.jit
+    def infer(img, imu, ts, carry):
+        return model.apply(
+            variables, img, imu, ts, hc=carry, train=False,
+            rngs={"gumbel": jax.random.PRNGKey(0)},
+        )
+
+    # compile + warmup (streaming: carry feeds back)
+    carry = carry0
+    t_compile = time.perf_counter()
+    for _ in range(WARMUP):
+        poses, carry = infer(img, imu, ts, carry)
+    jax.block_until_ready(poses)
+    compile_s = time.perf_counter() - t_compile
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        poses, carry = infer(img, imu, ts, carry)
+    jax.block_until_ready(poses)
+    elapsed = time.perf_counter() - t0
+
+    frames = BATCH * (S - 1) * ITERS
+    fps = frames / elapsed
+    print(
+        f"device={jax.devices()[0]} compile+warmup={compile_s:.1f}s "
+        f"elapsed={elapsed:.3f}s frames={frames}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "kitti_frames_per_sec_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / REFERENCE_RTX3090_FPS_ESTIMATE, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

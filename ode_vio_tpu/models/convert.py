@@ -135,15 +135,17 @@ def convert_mlp(sd: Mapping[str, np.ndarray], prefix: str) -> list:
     (kept in torch (out, in) layout)."""
     # Linear layers sit at the even Sequential indices, interleaved with
     # activations; collect every `<prefix>.<i>.weight` in index order.
+    base = f"{prefix}." if prefix else ""
     indices = sorted(
-        int(k[len(prefix) + 1 :].split(".")[0])
+        int(k[len(base) :].split(".")[0])
         for k in sd
-        if k.startswith(prefix + ".") and k.endswith(".weight")
+        if k.startswith(base) and k.endswith(".weight")
+        and k[len(base) :].split(".")[0].isdigit()
     )
     return [
         {
-            "w": np.asarray(sd[f"{prefix}.{i}.weight"]),
-            "b": np.asarray(sd[f"{prefix}.{i}.bias"]),
+            "w": np.asarray(sd[f"{base}{i}.weight"]),
+            "b": np.asarray(sd[f"{base}{i}.bias"]),
         }
         for i in indices
     ]
@@ -174,9 +176,10 @@ def convert_dense(sd: Mapping[str, np.ndarray], key: str) -> dict:
 
 def convert_regressor(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
     """nn.Sequential(Linear, LeakyReLU, Linear) -> PoseRegressor."""
+    base = f"{prefix}." if prefix else ""
     return {
-        "fc0": convert_dense(sd, f"{prefix}.0"),
-        "fc1": convert_dense(sd, f"{prefix}.2"),
+        "fc0": convert_dense(sd, f"{base}0"),
+        "fc1": convert_dense(sd, f"{base}2"),
     }
 
 

@@ -17,6 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# This environment's default matmul precision is bf16-grade even for f32
+# inputs (observed ~0.4% error); golden-value parity tests need true f32.
+os.environ["JAX_DEFAULT_MATMUL_PRECISION"] = "highest"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
