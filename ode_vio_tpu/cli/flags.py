@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["cat", "soft", "hard"])
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--use_pallas", action="store_true",
+                   help="fused Pallas adaptive-ODE kernel on the inference path")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (fails fast on NaN/Inf; the "
+                        "reference's manual tensor-stat NaN logging, "
+                        "utils/utils.py:86-87, made automatic)")
 
     # ODE core
     p.add_argument("--ode_hidden_dim", type=int, default=512)
@@ -117,6 +123,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def config_from_args(args) -> Config:
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     return Config(
         experiment_name=args.experiment_name,
         save_dir=args.save_dir,
@@ -146,6 +156,7 @@ def config_from_args(args) -> Config:
             adjoint=args.adjoint,
             rde_reduced_dim=args.rde_reduced_dim,
             compute_dtype=args.compute_dtype,
+            use_pallas=args.use_pallas,
         ),
         solver=SolverConfig(
             method=args.ode_solver, rtol=args.ode_rtol, atol=args.ode_atol,

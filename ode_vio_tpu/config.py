@@ -92,6 +92,11 @@ class ModelConfig:
     # TPU numerics: encoders run in `compute_dtype`, solver state in float32.
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # Inference-path kernel fusion: run each timestep's entire adaptive ODE
+    # integration as one Pallas kernel with the MLP weights resident in
+    # VMEM (ops/pallas_kernels.py). Training always uses the
+    # reverse-differentiable XLA path.
+    use_pallas: bool = False
 
     @property
     def f_len(self) -> int:

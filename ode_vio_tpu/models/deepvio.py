@@ -106,3 +106,26 @@ def count_parameters(variables) -> int:
     return sum(
         x.size for x in jax.tree_util.tree_leaves(variables.get("params", variables))
     )
+
+
+def analyse_flops(config: Config, batch_size: int = 1) -> dict:
+    """FLOP / memory-traffic accounting of the jitted forward via XLA's
+    compiled cost analysis (fvcore FlopCountAnalysis parity,
+    DeepVIO.py:70-74)."""
+    from ode_vio_tpu.utils.profiling import flops_analysis
+
+    model, variables = init_model(config, jax.random.PRNGKey(0), batch_size)
+    m = config.model
+    S = m.seq_len
+    img = jnp.zeros((batch_size, S, m.img_h, m.img_w, 3), jnp.float32)
+    imu = jnp.zeros((batch_size, 10 * (S - 1) + 1, 6), jnp.float32)
+    ts = jnp.arange(S, dtype=jnp.float32)[None].repeat(batch_size, 0) * 0.1
+
+    def fwd(img, imu, ts):
+        poses, _ = model.apply(
+            variables, img, imu, ts, train=False,
+            rngs={"gumbel": jax.random.PRNGKey(0)},
+        )
+        return poses
+
+    return flops_analysis(fwd, img, imu, ts)

@@ -89,18 +89,36 @@ class PoseODERNN(nn.Module):
         def ode_fn(t, y):
             return apply_mlp(ode_params, y, cfg.ode_activation_fn)
 
-        solve = jax.vmap(
-            lambda y, a, b: solve_ivp(ode_fn, y, a, b, opts)
-        )
+        use_pallas = cfg.use_pallas and not train and opts.adaptive
+
+        if use_pallas:
+            from ode_vio_tpu.ops.pallas_kernels import fused_ode_solve
+
+            def evolve(y, t0, t1):
+                y1, acc, rej = fused_ode_solve(
+                    ode_params, y, t0, t1,
+                    activation=cfg.ode_activation_fn,
+                    method=opts.method, rtol=opts.rtol, atol=opts.atol,
+                    dt0=opts.dt0, max_steps=opts.max_steps,
+                    safety=opts.safety, factor_min=opts.factor_min,
+                    factor_max=opts.factor_max,
+                )
+                return y1, acc.sum(), rej.sum()
+        else:
+            solve = jax.vmap(lambda y, a, b: solve_ivp(ode_fn, y, a, b, opts))
+
+            def evolve(y, t0, t1):
+                y1, stats = solve(y, t0, t1)
+                return y1, stats.accepted.sum(), stats.rejected.sum()
 
         def step(h, inp):
             x_t, t0, t1 = inp           # (B,F), (B,), (B,)
             # evolve all L layers' states in one batched solve
             y = h.reshape(L * B, F)
-            y1, stats = solve(y, jnp.tile(t0, L), jnp.tile(t1, L))
+            y1, acc, rej = evolve(y, jnp.tile(t0, L), jnp.tile(t1, L))
             h_evolved = y1.reshape(L, B, F)
             out, h_new = step_stack(cfg.ode_rnn_type, rnn_params, x_t, h_evolved)
-            return h_new, (out, stats.accepted.sum(), stats.rejected.sum())
+            return h_new, (out, acc, rej)
 
         xs = (
             jnp.swapaxes(fused, 0, 1),   # (S-1, B, F)

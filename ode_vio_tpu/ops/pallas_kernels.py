@@ -54,7 +54,7 @@ def fused_ode_solve(
     safety: float = 0.9,
     factor_min: float = 0.2,
     factor_max: float = 10.0,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     """Batched adaptive integration of the autonomous MLP vector field
     ``dy/dt = MLP(y)`` from t0 to t1 (>= t0), per-row step control.
@@ -62,6 +62,8 @@ def fused_ode_solve(
     params: ops.mlp layer list [{'w': (out,in), 'b': (out,)}, ...].
     Returns (y1 (N, F), accepted (N,), rejected (N,)).
     """
+    if interpret is None:  # Mosaic on TPU, interpreter elsewhere (tests/CPU)
+        interpret = jax.default_backend() != "tpu"
     tab = get_tableau(method)
     if not tab.adaptive_capable:
         raise ValueError(f"method '{method}' has no error estimate")
@@ -179,7 +181,7 @@ def fused_ode_solve(
         acc_ref[:] = acc
         rej_ref[:] = rej
 
-    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.ANY if interpret
+    vmem = functools.partial(pl.BlockSpec, memory_space=pl.ANY if interpret
                              else pltpu.VMEM)
     out = pl.pallas_call(
         kernel,

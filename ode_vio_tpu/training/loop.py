@@ -95,11 +95,11 @@ def set_learning_rate(opt_state, lr: float):
     def walk(s):
         if isinstance(s, optax.MultiStepsState):
             return s._replace(inner_opt_state=walk(s.inner_opt_state))
-        if isinstance(s, optax.MultiTransformState):
+        if hasattr(s, "inner_states"):  # multi_transform Partition state
             inner = dict(s.inner_states)
             inner["train"] = walk(inner["train"])
-            return optax.MultiTransformState(inner_states=inner)
-        if isinstance(s, optax.InjectHyperparamsState):
+            return type(s)(inner_states=inner)
+        if hasattr(s, "hyperparams"):  # InjectHyperparams / stateful variant
             hp = dict(s.hyperparams)
             hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
             return s._replace(hyperparams=hp)

@@ -21,6 +21,15 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # inputs (observed ~0.4% error); golden-value parity tests need true f32.
 os.environ["JAX_DEFAULT_MATMUL_PRECISION"] = "highest"
 
+# The container's sitecustomize pre-imports jax in EVERY python process,
+# so the env vars above were already consumed — re-apply through the
+# config API (the backend itself initialises lazily, so platform and
+# XLA_FLAGS still take effect at first use).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -178,8 +178,9 @@ class TestInertialEncoderParity:
 class TestHeads:
     def test_regressor_conversion(self):
         torch.manual_seed(4)
-        head = tnn.Sequential(tnn.Linear(12, 8), tnn.LeakyReLU(0.1),
-                              tnn.Linear(8, 6))
+        # hidden width 128 matches PoseRegressor (PoseODERNN.py:64-68)
+        head = tnn.Sequential(tnn.Linear(12, 128), tnn.LeakyReLU(0.1),
+                              tnn.Linear(128, 6))
         params = convert.convert_regressor(sd_numpy(head), "")
         from ode_vio_tpu.models.common import PoseRegressor
 

@@ -58,8 +58,21 @@ class TestSchedule:
         cfg = tiny_config(freeze_encoder=True, grad_accumulation_steps=2)
         _, tx, state = setup(cfg)
         new = set_learning_rate(state.opt_state, 3e-5)
-        inner = new.inner_opt_state.inner_states["train"].inner_state
-        assert float(inner.hyperparams["learning_rate"]) == pytest.approx(3e-5)
+
+        found = []
+
+        def find_lr(s):
+            if hasattr(s, "hyperparams"):
+                found.append(float(s.hyperparams["learning_rate"]))
+            for attr in ("inner_opt_state", "inner_state"):
+                if hasattr(s, attr):
+                    find_lr(getattr(s, attr))
+            if hasattr(s, "inner_states"):
+                for v in s.inner_states.values():
+                    find_lr(v)
+
+        find_lr(new)
+        assert found and found[0] == pytest.approx(3e-5)
 
 
 class TestTrainStep:
