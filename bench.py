@@ -81,6 +81,32 @@ def main() -> None:
 
     frames = BATCH * (S - 1) * ITERS
     fps = frames / elapsed
+
+    # secondary metric (BASELINE.json): odeint solver steps per second
+    try:
+        (_, _), inter = jax.jit(
+            lambda i, u, t, c: model.apply(
+                variables, i, u, t, hc=c, train=False,
+                rngs={"gumbel": jax.random.PRNGKey(0)},
+                mutable=["intermediates"],
+            )
+        )(img, imu, ts, carry0)
+        steps = int(
+            sum(
+                int(v[0])
+                for k, v in jax.tree_util.tree_flatten_with_path(
+                    inter["intermediates"]
+                )[0]
+                if "accepted" in str(k)
+            )
+        )
+        print(
+            f"odeint_steps_per_sec={steps * ITERS / elapsed:.0f} "
+            f"(accepted steps per forward: {steps})",
+            file=sys.stderr,
+        )
+    except Exception as e:  # observability only — never fail the bench
+        print(f"step-count introspection skipped: {e}", file=sys.stderr)
     print(
         f"device={jax.devices()[0]} compile+warmup={compile_s:.1f}s "
         f"elapsed={elapsed:.3f}s frames={frames}",

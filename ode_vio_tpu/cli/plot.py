@@ -14,7 +14,6 @@ from __future__ import annotations
 import argparse
 from pathlib import Path
 
-import numpy as np
 
 from ode_vio_tpu.utils.geometry import read_pose_file
 

@@ -31,14 +31,19 @@ def main(argv=None):
 
     model, variables = init_model(cfg, jax.random.PRNGKey(cfg.train.seed))
     if cfg.pretrain:
+        from ode_vio_tpu.training.loop import create_train_state, make_optimizer
+
         ckpt = CheckpointManager(cfg.pretrain)
         latest = ckpt.latest_epoch()
         name = ckpt.epoch_name(latest) if latest is not None else "best"
-        restored = ckpt.restore(
-            name, {"params": variables["params"],
-                   "batch_stats": variables["batch_stats"]}
+        # checkpoints hold the full TrainState; rebuild its structure
+        tx = make_optimizer(cfg)
+        target = jax.device_get(
+            create_train_state(cfg, variables, tx,
+                               jax.random.PRNGKey(cfg.train.seed + 1))
         )
-        variables = restored
+        state = ckpt.restore(name, target)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
         logger.info("loaded checkpoint %s/%s", cfg.pretrain, name)
     else:
         logger.warning("no --pretrain given: evaluating random init")

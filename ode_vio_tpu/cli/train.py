@@ -18,13 +18,12 @@ import numpy as np
 from ode_vio_tpu.cli.flags import build_parser, config_from_args
 from ode_vio_tpu.config import Config
 from ode_vio_tpu.data.evaluation import KittiEvaluator
-from ode_vio_tpu.data.kitti import BoundarySafeBatchSampler, KittiDataset, collate
+from ode_vio_tpu.data.kitti import BoundarySafeBatchSampler, KittiDataset
 from ode_vio_tpu.data.transforms import get_transforms
 from ode_vio_tpu.models.deepvio import count_parameters, init_model
 from ode_vio_tpu.parallel import create_mesh, shard_batch
 from ode_vio_tpu.training.checkpoint import CheckpointManager
 from ode_vio_tpu.training.loop import (
-    TrainState,
     create_train_state,
     lr_for_epoch,
     make_infer_fn,
@@ -37,32 +36,39 @@ from ode_vio_tpu.utils.logging_utils import setup_experiment_directories, setup_
 
 def get_train_loader(cfg: Config, epoch: int, logger):
     """Fresh dataset per epoch with a dropout ratio resampled from
-    N(data_dropout, data_dropout_std) (train_model.py:122-151, 210)."""
+    N(data_dropout, data_dropout_std) (train_model.py:122-151, 210),
+    served by the native async prefetching pipeline."""
+    from ode_vio_tpu.data.loader import PrefetchingLoader
+
     rng = np.random.default_rng(cfg.train.seed * 100003 + epoch)
     ratio = float(
         np.clip(rng.normal(cfg.data.data_dropout, cfg.data.data_dropout_std), 0, 0.9)
     )
     logger.info("epoch %d dropout ratio: %.4f", epoch, ratio)
-    transform = get_transforms(
+    # decode happens natively at target resolution; the transform pipeline
+    # carries only the augmentations
+    aug = get_transforms(
         (cfg.model.img_h, cfg.model.img_w),
         hflip=cfg.data.hflip, color=cfg.data.color,
-        normalize=cfg.data.normalize, rng=rng,
+        normalize=cfg.data.normalize, rng=rng, base=False,
     )
     ds = KittiDataset(
         cfg.data.data_dir, cfg.data.seq_len, cfg.data.train_seq,
-        transform=transform, dropout=ratio, rng=rng,
+        transform=None, dropout=ratio, rng=rng,
     )
     sampler = BoundarySafeBatchSampler(
         len(ds), cfg.train.batch_size, shuffle=cfg.data.shuffle,
         seed=cfg.train.seed + epoch, drop_last=True,
     )
-    return ds, sampler
+    return PrefetchingLoader(
+        ds, sampler, (cfg.model.img_h, cfg.model.img_w), transform=aug,
+        decode_threads=max(1, cfg.data.workers),
+    )
 
 
-def train_epoch(cfg, ds, sampler, train_step, state, mesh, logger, epoch):
+def train_epoch(cfg, loader, train_step, state, mesh, logger, epoch):
     losses = []
-    for it, idx in enumerate(sampler):
-        imgs, imus, gts, ts = collate([ds[i] for i in idx])
+    for it, (imgs, imus, gts, ts) in enumerate(loader):
         batch = shard_batch(
             mesh, (jnp.asarray(imgs), jnp.asarray(imus),
                    jnp.asarray(gts), jnp.asarray(ts))
@@ -73,7 +79,7 @@ def train_epoch(cfg, ds, sampler, train_step, state, mesh, logger, epoch):
             m = {k: float(v) for k, v in metrics.items()}
             logger.info(
                 "epoch %d iter %d/%d loss %.6f angle %.6f trans %.6f",
-                epoch, it + 1, len(sampler), m["loss"],
+                epoch, it + 1, len(loader), m["loss"],
                 m["angle_loss"], m["trans_loss"],
             )
     return state, float(np.mean([float(l) for l in losses])) if losses else 0.0
@@ -86,8 +92,15 @@ def main(argv=None):
     logger = setup_logger(f"train_{cfg.experiment_name}", dirs["logs"])
     logger.info("config: %s", cfg)
 
-    mesh = create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis)
-    logger.info("mesh: %s devices=%s", mesh.shape, jax.devices())
+    from ode_vio_tpu.parallel.mesh import auto_data_axis
+
+    dp = cfg.mesh.data_axis
+    if dp == -1:
+        dp = auto_data_axis(cfg.train.batch_size, cfg.mesh.model_axis)
+    n_used = dp * cfg.mesh.model_axis
+    mesh = create_mesh(dp, cfg.mesh.model_axis,
+                       devices=jax.devices()[:n_used])
+    logger.info("mesh: %s (of %d devices)", mesh.shape, len(jax.devices()))
 
     model, variables = init_model(cfg, jax.random.PRNGKey(cfg.train.seed))
     logger.info("total parameters: %d", count_parameters(variables))
@@ -130,6 +143,12 @@ def main(argv=None):
             init_epoch = latest + 1
             logger.info("resumed from %s epoch %d", cfg.pretrain, latest)
 
+    # replicate the train state over the mesh so a restored (host-resident)
+    # checkpoint and a fresh init behave identically under the sharded step
+    from ode_vio_tpu.parallel.mesh import replicated
+
+    state = jax.device_put(state, replicated(mesh))
+
     train_step = make_train_step(model, tx, cfg)
 
     wandb_run = None
@@ -148,10 +167,10 @@ def main(argv=None):
         state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
         logger.info("epoch %d lr %g", epoch, lr)
 
-        ds, sampler = get_train_loader(cfg, epoch, logger)
+        loader = get_train_loader(cfg, epoch, logger)
         t0 = time.time()
         state, avg_loss = train_epoch(
-            cfg, ds, sampler, train_step, state, mesh, logger, epoch
+            cfg, loader, train_step, state, mesh, logger, epoch
         )
         logger.info("epoch %d done: loss %.6f (%.1fs)", epoch, avg_loss,
                     time.time() - t0)

@@ -16,7 +16,6 @@ TPU-native notes:
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Callable, List, Optional, Sequence

@@ -20,7 +20,6 @@ frame's interval rows.
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Callable, List, Optional, Sequence

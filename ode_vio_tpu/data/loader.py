@@ -1,0 +1,101 @@
+"""Async batched input pipeline: background batch assembly over the
+native C++ decode runtime.
+
+Replaces the reference's torch DataLoader worker processes
+(/root/reference/scripts/train_model.py:143-150) with an in-process
+pipeline: window image batches decode+resize inside the C++ thread pool
+(GIL released), IMU/pose/timestamp assembly happens on a Python prefetch
+thread, and ``prefetch_depth`` batches stay in flight so host IO overlaps
+device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ode_vio_tpu.data import native_loader
+from ode_vio_tpu.data.kitti import KittiDataset
+
+
+class PrefetchingLoader:
+    """Iterate (imgs, imus, gts, ts) batches with background prefetch.
+
+    ``transform`` applies per-window after decode (the dataset's own
+    transform is bypassed so decode can happen natively at the target
+    resolution in one pass).
+    """
+
+    def __init__(
+        self,
+        dataset: KittiDataset,
+        sampler,
+        img_hw: tuple[int, int],
+        transform=None,
+        prefetch_depth: int = 2,
+        decode_threads: int = 4,
+        use_native: Optional[bool] = None,
+    ):
+        self.ds = dataset
+        self.sampler = sampler
+        self.img_hw = tuple(img_hw)
+        self.transform = transform
+        self.prefetch_depth = max(1, prefetch_depth)
+        self.decode_threads = decode_threads
+        if use_native is None:
+            use_native = native_loader.is_available()
+        self.use_native = use_native
+
+    def _assemble(self, idx_batch) -> tuple:
+        windows = [self.ds.samples[i] for i in idx_batch]
+        n_frames = len(windows[0].img_paths)
+        all_paths = [p for w in windows for p in w.img_paths]
+        flat = native_loader.decode_batch(
+            all_paths, self.img_hw, threads=self.decode_threads
+        )
+        imgs = flat.reshape(len(windows), n_frames, *self.img_hw, 3)
+        out = []
+        for k, w in enumerate(windows):
+            im = imgs[k] - 0.5
+            imus = np.array(w.imus, np.float32)
+            gts = np.array(w.gts, np.float32)
+            ts = np.array(w.timestamps, np.float32)
+            if self.transform is not None:
+                im, imus, gts, ts = self.transform(im, imus, gts, ts)
+            out.append((im, imus, gts, ts))
+        cols = list(zip(*out))
+        return tuple(np.stack(c, 0).astype(np.float32) for c in cols)
+
+    def __iter__(self) -> Iterator[tuple]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for idx_batch in self.sampler:
+                    if stop.is_set():
+                        return
+                    q.put(self._assemble(idx_batch))
+            except Exception as e:  # surface errors on the consumer side
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+    def __len__(self) -> int:
+        return len(self.sampler)

@@ -126,10 +126,12 @@ class Normalize:
 
 
 def get_transforms(img_hw=(256, 512), hflip=False, color=False,
-                   normalize=False, rng=None) -> Compose:
+                   normalize=False, rng=None, base: bool = True) -> Compose:
     """Assemble the train pipeline from flags
-    (src/data/transforms.py:11-29)."""
-    ts: List[Callable] = [Center(), Resize(img_hw)]
+    (src/data/transforms.py:11-29). ``base=False`` drops the
+    Center+Resize head for pipelines where the native loader already
+    decodes at target resolution in [0,1]-centered form."""
+    ts: List[Callable] = [Center(), Resize(img_hw)] if base else []
     if hflip:
         ts.append(RandomHorizontalFlip(rng=rng))
     if color:

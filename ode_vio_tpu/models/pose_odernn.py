@@ -37,7 +37,8 @@ from ode_vio_tpu.models.common import PoseRegressor
 from ode_vio_tpu.models.fusion import FusionModule
 from ode_vio_tpu.ops.mlp import apply_mlp, init_mlp, ode_func_sizes
 from ode_vio_tpu.ops.rnn_cells import init_stack, step_stack
-from ode_vio_tpu.ops.solvers import SolverOptions, solve_ivp
+from ode_vio_tpu.ops.solvers import SolverOptions
+from ode_vio_tpu.ops.solvers.odeint import solve_ivp_dt
 
 
 class PoseODERNN(nn.Module):
@@ -94,38 +95,43 @@ class PoseODERNN(nn.Module):
         if use_pallas:
             from ode_vio_tpu.ops.pallas_kernels import fused_ode_solve
 
-            def evolve(y, t0, t1):
-                y1, acc, rej = fused_ode_solve(
+            def evolve(y, t0, t1, dt0):
+                y1, dt_fin, acc, rej = fused_ode_solve(
                     ode_params, y, t0, t1,
                     activation=cfg.ode_activation_fn,
                     method=opts.method, rtol=opts.rtol, atol=opts.atol,
-                    dt0=opts.dt0, max_steps=opts.max_steps,
+                    dt0=dt0, max_steps=opts.max_steps,
                     safety=opts.safety, factor_min=opts.factor_min,
                     factor_max=opts.factor_max,
                 )
-                return y1, acc.sum(), rej.sum()
+                return y1, dt_fin, acc.sum(), rej.sum()
         else:
-            solve = jax.vmap(lambda y, a, b: solve_ivp(ode_fn, y, a, b, opts))
+            solve = jax.vmap(
+                lambda y, a, b, d: solve_ivp_dt(ode_fn, y, a, b, opts, d)
+            )
 
-            def evolve(y, t0, t1):
-                y1, stats = solve(y, t0, t1)
-                return y1, stats.accepted.sum(), stats.rejected.sum()
+            def evolve(y, t0, t1, dt0):
+                y1, dt_fin, stats = solve(y, t0, t1, dt0)
+                return y1, dt_fin, stats.accepted.sum(), stats.rejected.sum()
 
-        def step(h, inp):
+        def step(carry, inp):
+            h, dt = carry
             x_t, t0, t1 = inp           # (B,F), (B,), (B,)
-            # evolve all L layers' states in one batched solve
+            # evolve all L layers' states in one batched solve; the
+            # controller's final dt warm-starts the next frame's solve
             y = h.reshape(L * B, F)
-            y1, acc, rej = evolve(y, jnp.tile(t0, L), jnp.tile(t1, L))
+            y1, dt_fin, acc, rej = evolve(y, jnp.tile(t0, L), jnp.tile(t1, L), dt)
             h_evolved = y1.reshape(L, B, F)
             out, h_new = step_stack(cfg.ode_rnn_type, rnn_params, x_t, h_evolved)
-            return h_new, (out, acc, rej)
+            return (h_new, dt_fin), (out, acc, rej)
 
         xs = (
             jnp.swapaxes(fused, 0, 1),   # (S-1, B, F)
             ts_eff[:, :-1].T,            # (S-1, B)
             ts_eff[:, 1:].T,
         )
-        h_T, (outs, acc, rej) = lax.scan(step, h0, xs)
+        dt_init = jnp.full((L * B,), opts.dt0, jnp.float32)
+        (h_T, _), (outs, acc, rej) = lax.scan(step, (h0, dt_init), xs)
         self.sow("intermediates", "ode_steps_accepted", jnp.sum(acc))
         self.sow("intermediates", "ode_steps_rejected", jnp.sum(rej))
 

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from ode_vio_tpu.ops.solvers.odeint import SolverOptions, Stats, solve_at

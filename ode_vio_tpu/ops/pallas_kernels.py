@@ -60,7 +60,8 @@ def fused_ode_solve(
     ``dy/dt = MLP(y)`` from t0 to t1 (>= t0), per-row step control.
 
     params: ops.mlp layer list [{'w': (out,in), 'b': (out,)}, ...].
-    Returns (y1 (N, F), accepted (N,), rejected (N,)).
+    ``dt0`` may be a scalar or a per-row (N,) warm-start array.
+    Returns (y1 (N, F), dt_final (N,), accepted (N,), rejected (N,)).
     """
     if interpret is None:  # Mosaic on TPU, interpreter elsewhere (tests/CPU)
         interpret = jax.default_backend() != "tpu"
@@ -77,6 +78,8 @@ def fused_ode_solve(
     t0p = jnp.pad(t0.astype(jnp.float32), (0, pad)).reshape(rows, 1)
     # padded rows get a zero-length interval -> immediately done
     t1p = jnp.pad(t1.astype(jnp.float32), (0, pad)).reshape(rows, 1)
+    dt0_arr = jnp.broadcast_to(jnp.asarray(dt0, jnp.float32), (N,))
+    dt0p = jnp.pad(dt0_arr, (0, pad), constant_values=1.0).reshape(rows, 1)
 
     flat_weights = []
     for layer in params:
@@ -97,9 +100,9 @@ def fused_ode_solve(
             h = act(h) if i < n_layers - 1 else jnp.tanh(h)
         return h
 
-    def kernel(y0_ref, t0_ref, t1_ref, *refs):
+    def kernel(y0_ref, t0_ref, t1_ref, dt0_ref, *refs):
         wrefs = refs[: 2 * n_layers]
-        y1_ref, acc_ref, rej_ref = refs[2 * n_layers :]
+        y1_ref, dt_ref, acc_ref, rej_ref = refs[2 * n_layers :]
 
         y_init = y0_ref[:]
         t_init = t0_ref[:]
@@ -170,14 +173,15 @@ def fused_ode_solve(
         carry = (
             jnp.zeros((), jnp.int32),
             t_init,
-            jnp.full((rows, 1), dt0, jnp.float32),
+            dt0_ref[:],
             y_init,
             f_init,
             zero_i,
             zero_i,
         )
-        _, _, _, y_fin, _, acc, rej = jax.lax.while_loop(cond, body, carry)
+        _, _, dt_fin, y_fin, _, acc, rej = jax.lax.while_loop(cond, body, carry)
         y1_ref[:] = y_fin
+        dt_ref[:] = dt_fin
         acc_ref[:] = acc
         rej_ref[:] = rej
 
@@ -187,13 +191,14 @@ def fused_ode_solve(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((rows, F), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 1), jnp.float32),
             jax.ShapeDtypeStruct((rows, 1), jnp.int32),
             jax.ShapeDtypeStruct((rows, 1), jnp.int32),
         ),
-        in_specs=[vmem()] * (3 + 2 * n_layers),
-        out_specs=(vmem(), vmem(), vmem()),
+        in_specs=[vmem()] * (4 + 2 * n_layers),
+        out_specs=(vmem(), vmem(), vmem(), vmem()),
         interpret=interpret,
-    )(y0p, t0p, t1p, *flat_weights)
+    )(y0p, t0p, t1p, dt0p, *flat_weights)
 
-    y1, acc, rej = out
-    return y1[:N], acc[:N, 0], rej[:N, 0]
+    y1, dt_fin, acc, rej = out
+    return y1[:N], dt_fin[:N, 0], acc[:N, 0], rej[:N, 0]

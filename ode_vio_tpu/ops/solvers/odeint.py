@@ -274,6 +274,26 @@ def solve_ivp(
     Returns ``(y1, stats)``. Batch by ``jax.vmap``; per-sample adaptive
     step sizes then fall out of the loop-batching rules.
     """
+    y1, _, stats = solve_ivp_dt(func, y0, t0, t1, opts, dt0)
+    return y1, stats
+
+
+def solve_ivp_dt(
+    func: VectorField,
+    y0: Pytree,
+    t0,
+    t1,
+    opts: SolverOptions = SolverOptions(),
+    dt0=None,
+):
+    """As :func:`solve_ivp` but also returns the controller's final
+    proposed step size — pass it as the next interval's ``dt0`` to
+    warm-start the controller (a torchode-style optimization the
+    reference forfeits by re-solving from dt0=1e-4 every frame,
+    PoseODERNN.py:72; cuts the ramp-up steps of consecutive solves).
+
+    Returns ``(y1, dt_final, stats)``.
+    """
     dt0 = opts.dt0 if dt0 is None else dt0
     if opts.unroll_mode == "adjoint":
         raise ValueError(
@@ -281,10 +301,8 @@ def solve_ivp(
             "(it needs explicit params)"
         )
     if opts.adaptive:
-        y1, _, stats = _solve_adaptive(func, y0, t0, t1, opts, dt0)
-    else:
-        y1, _, stats = _solve_fixed(func, y0, t0, t1, opts)
-    return y1, stats
+        return _solve_adaptive(func, y0, t0, t1, opts, dt0)
+    return _solve_fixed(func, y0, t0, t1, opts)
 
 
 def solve_at(

@@ -42,6 +42,16 @@ def create_mesh(
     return Mesh(arr, axis_names=tuple(axis_names))
 
 
+def auto_data_axis(batch_size: int, model: int = 1,
+                   devices: Optional[Sequence] = None) -> int:
+    """Largest data-parallel axis that evenly divides both the batch and
+    the device count (a 4-sample debug batch on an 8-device host should
+    use 4 devices, not crash)."""
+    n = len(devices if devices is not None else jax.devices()) // model
+    d = max(k for k in range(1, n + 1) if batch_size % k == 0 and n % k == 0)
+    return d
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding over the data axis."""
     return NamedSharding(mesh, P("data"))

@@ -20,7 +20,7 @@ Re-designs the reference training driver's hot path
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import flax.struct
 import jax
