@@ -93,7 +93,7 @@ def main() -> None:
         )(img, imu, ts, carry0)
         steps = int(
             sum(
-                int(v[0])
+                int(np.asarray(v).ravel().sum())
                 for k, v in jax.tree_util.tree_flatten_with_path(
                     inter["intermediates"]
                 )[0]

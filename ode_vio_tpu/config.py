@@ -92,6 +92,10 @@ class ModelConfig:
     # TPU numerics: encoders run in `compute_dtype`, solver state in float32.
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # Exact space-to-depth rewrite of the narrow-channel stride-2 encoder
+    # convs (identical math and parameters; ~4x MXU utilisation on the
+    # 6-channel 7x7 input conv — see models/encoders.py).
+    encoder_s2d: bool = True
     # Inference-path kernel fusion: run each timestep's entire adaptive ODE
     # integration as one Pallas kernel with the MLP weights resident in
     # VMEM (ops/pallas_kernels.py). Training always uses the

@@ -18,33 +18,98 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ode_vio_tpu.config import ModelConfig
 
 
+def _space_to_depth_conv(x, kernel, dtype):
+    """Exact rewrite of a stride-2 odd-kernel conv as space-to-depth +
+    stride-1 conv. For the 6-channel 7x7 input conv the MXU contraction
+    grows from 6 channels to 24, lifting utilisation ~4x (measured: the
+    naive form runs at ~16 TF/s = 8% of v5e peak and dominates the whole
+    encoder). Weights stay in the original (k, k, C, O) layout, so torch
+    checkpoint conversion is untouched; the rearrangement happens at trace
+    time.
+
+    Derivation: with y[i,j] = sum_{dy,dx,c} W[dy,dx,c] x[2i+dy-P, 2j+dx-P]
+    (P = (k-1)//2), substituting x[2p+r] = s2d(x)[p, r] gives a stride-1
+    conv over the (ry, rx, c) channels with taps a = P' + (dy-P-ry)/2,
+    P' = ceil(P/2) + ... verified element-wise in tests/test_encoder_s2d.py.
+    """
+    k = kernel.shape[0]
+    C = kernel.shape[2]
+    O = kernel.shape[3]
+    P = (k - 1) // 2
+    kh = (k + 2) // 2  # taps per phase: 4 for k=7, 3 for k=5, 2 for k=3
+    A = (P + 1) // 2   # anchor tap of the zero-offset phase
+    B, H, W, _ = x.shape
+    x2 = (
+        x.reshape(B, H // 2, 2, W // 2, 2, C)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, H // 2, W // 2, 4 * C)
+    )
+    Wn = jnp.zeros((kh, kh, 4 * C, O), kernel.dtype)
+    for a in range(kh):
+        for ry in range(2):
+            dy = 2 * (a - A) + ry + P
+            if not 0 <= dy < k:
+                continue
+            for b in range(kh):
+                for rx in range(2):
+                    dx = 2 * (b - A) + rx + P
+                    if not 0 <= dx < k:
+                        continue
+                    ch = ry * 2 * C + rx * C
+                    Wn = Wn.at[a, b, ch : ch + C, :].set(kernel[dy, dx])
+    pad = ((A, kh - 1 - A), (A, kh - 1 - A))
+    return jax.lax.conv_general_dilated(
+        x2.astype(dtype), Wn.astype(dtype), (1, 1), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 class ConvBlock(nn.Module):
     """Conv2d(torch-style symmetric padding) + BatchNorm + LeakyReLU(0.1)
-    + Dropout (Encoder.py:8-35 ``conv`` with batchNorm=True)."""
+    + Dropout (Encoder.py:8-35 ``conv`` with batchNorm=True).
+
+    ``s2d=True`` computes the (stride-2, odd-kernel) conv through the
+    exact space-to-depth rewrite — same math, same parameters, ~4x MXU
+    utilisation for low-channel inputs."""
 
     features: int
     kernel: int
     stride: int = 1
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         pad = (self.kernel - 1) // 2
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=((pad, pad), (pad, pad)),
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if self.s2d and self.stride == 2 and x.shape[1] % 2 == 0 \
+                and x.shape[2] % 2 == 0:
+            kernel = self.param(
+                "conv",
+                lambda key: {
+                    "kernel": nn.initializers.variance_scaling(
+                        2.0, "fan_in", "normal"
+                    )(key, (self.kernel, self.kernel, x.shape[-1],
+                            self.features), jnp.float32)
+                },
+            )["kernel"]
+            x = _space_to_depth_conv(x, kernel, self.dtype)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=((pad, pad), (pad, pad)),
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,  # = 1 - torch momentum 0.1
@@ -88,7 +153,10 @@ class ImageEncoder(nn.Module):
         pairs = jnp.concatenate([img[:, :-1], img[:, 1:]], axis=-1)
         x = pairs.reshape(B * (S - 1), H, W, 2 * C).astype(dtype)
         for i, (f, k, s, d) in enumerate(self.TRUNK):
-            x = ConvBlock(f, k, s, d, dtype=dtype, name=f"block{i}")(x, train)
+            # space-to-depth rewrite for the narrow-channel stride-2 convs
+            s2d = self.cfg.encoder_s2d and s == 2 and x.shape[-1] <= 64
+            x = ConvBlock(f, k, s, d, dtype=dtype, s2d=s2d,
+                          name=f"block{i}")(x, train)
         x = x.reshape(B, S - 1, -1)
         x = nn.Dense(self.cfg.v_f_len, dtype=dtype, name="visual_head")(x)
         return x.astype(jnp.float32)
