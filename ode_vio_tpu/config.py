@@ -93,9 +93,11 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     # Exact space-to-depth rewrite of the narrow-channel stride-2 encoder
-    # convs (identical math and parameters; ~4x MXU utilisation on the
-    # 6-channel 7x7 input conv — see models/encoders.py).
-    encoder_s2d: bool = True
+    # convs (identical math and parameters). Measured on v5e: XLA's native
+    # strided conv already beats the explicit rewrite (14.1 vs 20.9 ms on
+    # the 7x7 input conv at 320 pairs), so this stays off by default;
+    # kept as an option for other XLA versions/topologies.
+    encoder_s2d: bool = False
     # Inference-path kernel fusion: run each timestep's entire adaptive ODE
     # integration as one Pallas kernel with the MLP weights resident in
     # VMEM (ops/pallas_kernels.py). Training always uses the

@@ -26,7 +26,6 @@ from ode_vio_tpu.data.kitti import (
     IMU_FREQ,
     SequenceData,
     inject_frame_dropout,
-    load_images,
     load_sequence,
 )
 from ode_vio_tpu.utils import geometry as geo
@@ -161,8 +160,10 @@ class EvalPartition:
         return len(self.windows)
 
     def __getitem__(self, i: int) -> EvalWindow:
+        from ode_vio_tpu.data.native_loader import decode_batch
+
         w = self.windows[i]
-        imgs = load_images(w["paths"], size_hw=self.img_hw) - 0.5
+        imgs = decode_batch(w["paths"], self.img_hw) - 0.5
         if w["pad"]:
             imgs = np.concatenate(
                 [imgs, np.repeat(imgs[-1:], w["pad"], axis=0)], 0
@@ -217,7 +218,40 @@ class KittiEvaluator:
         pose_gt = np.asarray(part.seq.rel_poses[: len(pose_est)], np.float32)
         return kitti_eval(pose_est, pose_gt)
 
-    def eval(self, infer_fn: Callable) -> List[dict]:
+    def eval_batched(self, infer_fn: Callable) -> List[dict]:
+        """Stream ALL validation sequences together, one sequence per batch
+        lane — a TPU-native upgrade over the reference's one-sequence-at-a-
+        time batch-1 loop (KITTI_eval.py:166-170): a single compiled
+        executable serves every window step of every sequence. Exhausted
+        lanes replay their last window; their outputs are discarded."""
+        parts = self.partitions
+        n_windows = max(len(p) for p in parts)
+        carry = None
+        chunks: List[List[np.ndarray]] = [[] for _ in parts]
+        for w in range(n_windows):
+            ws = [p[min(w, len(p) - 1)] for p in parts]
+            imgs = np.stack([x.imgs for x in ws], 0)
+            imus = np.stack([x.imus for x in ws], 0)
+            ts = np.stack([x.ts for x in ws], 0)
+            poses, carry = infer_fn(imgs, imus, ts, carry)
+            poses = np.asarray(poses)
+            for lane, p in enumerate(parts):
+                if w < len(p):
+                    chunks[lane].append(poses[lane, : ws[lane].valid])
+        results = []
+        for lane, p in enumerate(parts):
+            pose_est = np.concatenate(chunks[lane], 0)
+            pose_gt = np.asarray(p.seq.rel_poses[: len(pose_est)], np.float32)
+            results.append(kitti_eval(pose_est, pose_gt))
+        self.results = results
+        return [
+            {k: r[k] for k in ("t_rel", "r_rel", "t_rmse", "r_rmse")}
+            for r in self.results
+        ]
+
+    def eval(self, infer_fn: Callable, batched: bool = True) -> List[dict]:
+        if batched and len(self.partitions) > 1:
+            return self.eval_batched(infer_fn)
         self.results = [
             self.eval_sequence(infer_fn, p) for p in self.partitions
         ]

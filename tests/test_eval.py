@@ -128,3 +128,35 @@ class TestEvaluator:
         ]
         s = summarize_runs(runs, ("07",))
         assert "seq 07" in s and "2.0000" in s
+
+
+class TestBatchedEvaluator:
+    def test_batched_matches_sequential(self, tmp_path_factory):
+        root = make_kitti_tree(tmp_path_factory.mktemp("kitti_lanes"),
+                               seqs=("00", "05"), n_frames=30,
+                               img_hw=(32, 64))
+        import jax
+        import jax.numpy as jnp
+
+        from ode_vio_tpu.config import Config, DataConfig, ModelConfig, SolverConfig
+        from ode_vio_tpu.models.deepvio import init_model
+        from ode_vio_tpu.training.loop import make_infer_fn
+
+        cfg = Config(
+            model=ModelConfig(model_type="ode-rnn", img_w=64, img_h=32,
+                              seq_len=5, v_f_len=32, i_f_len=16,
+                              ode_hidden_dim=16, rnn_num_layers=2,
+                              compute_dtype="float32"),
+            solver=SolverConfig(max_steps=8, dt0=1e-2),
+            data=DataConfig(seq_len=5),
+        )
+        model, variables = init_model(cfg, jax.random.PRNGKey(0))
+        infer = make_infer_fn(model, variables)
+
+        ev = KittiEvaluator(root, val_seqs=("00", "05"), seq_len=5,
+                            img_hw=(32, 64))
+        seq_res = ev.eval(infer, batched=False)
+        bat_res = ev.eval(infer, batched=True)
+        for a, b in zip(seq_res, bat_res):
+            for k in ("t_rmse", "r_rmse"):
+                assert a[k] == pytest.approx(b[k], rel=1e-4, abs=1e-6)
