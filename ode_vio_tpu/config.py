@@ -27,7 +27,13 @@ class SolverConfig:
     rtol: float = 1e-2
     atol: float = 1e-6
     dt0: float = 1e-4
-    max_steps: int = 64          # bound for the bounded-scan differentiable mode
+    max_steps: int = 64          # inference while-loop safety bound
+    # Bound for the differentiable bounded-scan (training) mode. Unlike the
+    # while loop — which exits as soon as every lane finishes — the masked
+    # scan always pays for exactly this many iterations, so it is set to a
+    # tight budget: with the warm-started controller a 0.1 s KITTI frame
+    # interval takes ~3-8 dopri5 steps at the reference tolerances.
+    max_steps_train: int = 16
     adaptive: bool = True        # False -> fixed-step with `fixed_steps` per interval
     fixed_steps: int = 4
     # 'bounded' = reverse-differentiable masked lax.scan (training);

@@ -89,7 +89,7 @@ class PoseCDE(nn.Module):
             _ = initial(obs[:, 0])                     # materialize params
 
         opts = dataclasses.replace(
-            SolverOptions.from_config(self.solver),
+            SolverOptions.from_config(self.solver, train=train),
             unroll_mode="bounded" if train else "while",
         )
 

@@ -82,7 +82,7 @@ class PoseODERNN(nn.Module):
         # training must reverse-differentiate through the solver (bounded
         # scan); inference takes the faster raw while_loop.
         opts = dataclasses.replace(
-            SolverOptions.from_config(self.solver),
+            SolverOptions.from_config(self.solver, train=train),
             unroll_mode="bounded" if train else "while",
         )
 

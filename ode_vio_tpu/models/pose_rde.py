@@ -70,7 +70,7 @@ class PoseRDE(nn.Module):
         initial = nn.Dense(H, kernel_init=KAIMING, name="initial")
 
         opts = dataclasses.replace(
-            SolverOptions.from_config(self.solver),
+            SolverOptions.from_config(self.solver, train=train),
             unroll_mode="bounded" if train else "while",
         )
 

@@ -64,11 +64,18 @@ class SolverOptions:
     factor_max: float = 10.0
 
     @classmethod
-    def from_config(cls, cfg) -> "SolverOptions":
-        """Build from a :class:`ode_vio_tpu.config.SolverConfig`."""
+    def from_config(cls, cfg, train: bool = False) -> "SolverOptions":
+        """Build from a :class:`ode_vio_tpu.config.SolverConfig`. Training
+        uses the tighter ``max_steps_train`` budget (the bounded scan pays
+        for every iteration whether needed or not)."""
+        max_steps = (
+            getattr(cfg, "max_steps_train", cfg.max_steps)
+            if train
+            else cfg.max_steps
+        )
         return cls(
             method=cfg.method, rtol=cfg.rtol, atol=cfg.atol, dt0=cfg.dt0,
-            max_steps=cfg.max_steps, adaptive=cfg.adaptive,
+            max_steps=max_steps, adaptive=cfg.adaptive,
             fixed_steps=cfg.fixed_steps, unroll_mode=cfg.unroll_mode,
             safety=cfg.safety, factor_min=cfg.factor_min,
             factor_max=cfg.factor_max,
