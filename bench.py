@@ -30,7 +30,7 @@ import numpy as np
 
 REFERENCE_RTX3090_FPS_ESTIMATE = 400.0
 
-BATCH = 32  # throughput sweet spot measured on v5e (see BENCH notes)
+BATCH = 64  # throughput sweet spot measured on v5e (see BENCH notes)
 WARMUP = 2
 ITERS = 10
 

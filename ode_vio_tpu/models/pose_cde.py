@@ -98,13 +98,31 @@ class PoseCDE(nn.Module):
                 cde_params, z, cfg.cde_activation_fn, H, input_dim
             )
 
-        def solve_one(obs_i, knots_i, z0_i):
-            path = make_path(knots_i, obs_i, cfg.cde_interpolation)
-            zs, stats = cdeint(path, g, z0_i, knots_i, opts)
-            return zs, stats
+        if cfg.adjoint and train:
+            # O(1)-memory continuous-adjoint gradients (torchcde
+            # adjoint=True parity; PoseCDE.py:98-101)
+            from ode_vio_tpu.ops.interpolation import cdeint_adjoint
 
-        zs, stats = jax.vmap(solve_one)(obs, knots, z0)   # (B, S-1, H)
-        self.sow("intermediates", "cde_steps_accepted", jnp.sum(stats.accepted))
+            def field_apply(params, z):
+                return apply_cde_func(
+                    params, z, cfg.cde_activation_fn, H, input_dim
+                )
+
+            def solve_one(obs_i, knots_i, z0_i):
+                path = make_path(knots_i, obs_i, cfg.cde_interpolation)
+                return cdeint_adjoint(
+                    path, z0_i, knots_i, cde_params, field_apply, opts
+                )
+
+            zs = jax.vmap(solve_one)(obs, knots, z0)      # (B, S-1, H)
+        else:
+            def solve_one(obs_i, knots_i, z0_i):
+                path = make_path(knots_i, obs_i, cfg.cde_interpolation)
+                return cdeint(path, g, z0_i, knots_i, opts)
+
+            zs, stats = jax.vmap(solve_one)(obs, knots, z0)   # (B, S-1, H)
+            self.sow("intermediates", "cde_steps_accepted",
+                     jnp.sum(stats.accepted))
 
         poses = PoseRegressor(name="regressor")(zs)
         return poses, zs[:, -1, :]

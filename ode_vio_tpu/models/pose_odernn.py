@@ -79,11 +79,13 @@ class PoseODERNN(nn.Module):
         ts = ts.astype(jnp.float32)
         ts_eff = ts - ts[:, :1] if prev is None else ts
 
-        # training must reverse-differentiate through the solver (bounded
-        # scan); inference takes the faster raw while_loop.
+        # training must reverse-differentiate through the solver: bounded
+        # scan (discretize-then-optimize) by default, continuous adjoint
+        # when configured; inference takes the faster raw while_loop.
+        base_opts = SolverOptions.from_config(self.solver, train=train)
+        use_adjoint = train and base_opts.unroll_mode == "adjoint"
         opts = dataclasses.replace(
-            SolverOptions.from_config(self.solver, train=train),
-            unroll_mode="bounded" if train else "while",
+            base_opts, unroll_mode="bounded" if train else "while"
         )
 
         # the autonomous latent vector field f(t, h) = MLP(h) (ODEFunc.py:38)
@@ -92,7 +94,23 @@ class PoseODERNN(nn.Module):
 
         use_pallas = cfg.use_pallas and not train and opts.adaptive
 
-        if use_pallas:
+        if use_adjoint:
+            from ode_vio_tpu.ops.solvers import solve_ivp_adjoint
+
+            def adj_func(t, y, args):
+                return apply_mlp(args, y, cfg.ode_activation_fn)
+
+            adj = jax.vmap(
+                lambda y, a, b: solve_ivp_adjoint(
+                    adj_func, opts, y, a, b, ode_params
+                )
+            )
+
+            def evolve(y, t0, t1, dt0):
+                y1 = adj(y, t0, t1)
+                zero = jnp.zeros((), jnp.int32)
+                return y1, dt0, zero, zero
+        elif use_pallas:
             from ode_vio_tpu.ops.pallas_kernels import fused_ode_solve
 
             def evolve(y, t0, t1, dt0):

@@ -114,3 +114,40 @@ def cdeint(
 
     ts = jnp.concatenate([jnp.reshape(path.t0, (1,)), jnp.asarray(ts_eval)])
     return solve_at(ode_func, z0, ts, opts)
+
+
+def cdeint_adjoint(
+    path: InterpolatedPath,
+    z0: jnp.ndarray,
+    ts_eval: jnp.ndarray,
+    field_params,
+    field_apply: Callable,
+    opts: SolverOptions = SolverOptions(),
+) -> jnp.ndarray:
+    """O(1)-memory CDE integration: gradients flow through the continuous
+    adjoint (``jax.custom_vjp``) instead of stored solver intermediates —
+    torchcde's ``adjoint=True`` with explicit ``adjoint_params`` including
+    the interpolation coefficients (PoseCDE.py:98, PoseRDE.py:105-106).
+
+    ``field_apply(params, z) -> (H, C)``; both the field parameters and the
+    path coefficients receive gradients. Returns ``zs`` at each
+    ``ts_eval[i]`` (no stats: the adjoint wrapper hides the solve)."""
+    from jax import lax
+
+    from ode_vio_tpu.ops.solvers.odeint import solve_ivp_adjoint
+
+    def func(t, z, args):
+        params, path_arrays = args
+        pth = InterpolatedPath(*path_arrays)
+        return field_apply(params, z) @ pth.derivative(t)
+
+    args = (field_params, tuple(path))
+
+    def seg(z, t_pair):
+        z1 = solve_ivp_adjoint(func, opts, z, t_pair[0], t_pair[1], args)
+        return z1, z1
+
+    ts = jnp.concatenate([jnp.reshape(path.t0, (1,)), jnp.asarray(ts_eval)])
+    pairs = jnp.stack([ts[:-1], ts[1:]], axis=-1)
+    _, zs = lax.scan(seg, z0, pairs)
+    return zs
