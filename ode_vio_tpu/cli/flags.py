@@ -115,10 +115,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--color", action="store_true")
     p.add_argument("--normalize", action="store_true")
 
-    # mesh
+    # mesh / distributed
     p.add_argument("--mesh_data", type=int, default=-1,
                    help="data-parallel axis size (-1 = all devices)")
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() for multi-host "
+                        "TPU pods (replaces the reference's single-GPU "
+                        "slurm launcher; mesh then spans all pod devices)")
+
+    # profiling
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture an XProf/Perfetto trace of the first "
+                        "training steps into this directory")
     return p
 
 
@@ -127,6 +136,10 @@ def config_from_args(args) -> Config:
         import jax
 
         jax.config.update("jax_debug_nans", True)
+    if getattr(args, "multihost", False):
+        import jax
+
+        jax.distributed.initialize()
     return Config(
         experiment_name=args.experiment_name,
         save_dir=args.save_dir,

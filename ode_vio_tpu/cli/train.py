@@ -66,15 +66,25 @@ def get_train_loader(cfg: Config, epoch: int, logger):
     )
 
 
-def train_epoch(cfg, loader, train_step, state, mesh, logger, epoch):
+def train_epoch(cfg, loader, train_step, state, mesh, logger, epoch,
+                profile_dir=None):
     losses = []
+    profiling = False
     for it, (imgs, imus, gts, ts) in enumerate(loader):
+        if profile_dir and epoch == 0 and it == 1:  # skip the compile step
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
         batch = shard_batch(
             mesh, (jnp.asarray(imgs), jnp.asarray(imus),
                    jnp.asarray(gts), jnp.asarray(ts))
         )
         state, metrics = train_step(state, *batch)
         losses.append(metrics["loss"])
+        if profiling and it >= 4:
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            profiling = False
+            logger.info("profiler trace written to %s", profile_dir)
         if (it + 1) % cfg.train.print_frequency == 0:
             m = {k: float(v) for k, v in metrics.items()}
             logger.info(
@@ -82,6 +92,8 @@ def train_epoch(cfg, loader, train_step, state, mesh, logger, epoch):
                 epoch, it + 1, len(loader), m["loss"],
                 m["angle_loss"], m["trans_loss"],
             )
+    if profiling:  # short epoch: close the trace cleanly
+        jax.profiler.stop_trace()
     return state, float(np.mean([float(l) for l in losses])) if losses else 0.0
 
 
@@ -170,7 +182,8 @@ def main(argv=None):
         loader = get_train_loader(cfg, epoch, logger)
         t0 = time.time()
         state, avg_loss = train_epoch(
-            cfg, loader, train_step, state, mesh, logger, epoch
+            cfg, loader, train_step, state, mesh, logger, epoch,
+            profile_dir=getattr(args, "profile_dir", None),
         )
         logger.info("epoch %d done: loss %.6f (%.1fs)", epoch, avg_loss,
                     time.time() - t0)
