@@ -97,7 +97,12 @@ def init_model(config: Config, rng: jax.Array, batch_size: int = 1):
     imu = jnp.zeros((batch_size, 10 * (S - 1) + 1, 6), jnp.float32)
     ts = jnp.arange(S, dtype=jnp.float32)[None, :].repeat(batch_size, 0) * 0.1
     rngs = {"params": rng, "dropout": rng, "gumbel": rng}
-    variables = model.init(rngs, img, imu, ts, train=False)
+    # jit the init: unjitted linen init dispatches op-by-op (minutes over a
+    # tunneled TPU); as one compiled computation it is seconds.
+    init_fn = jax.jit(
+        lambda rngs, img, imu, ts: model.init(rngs, img, imu, ts, train=False)
+    )
+    variables = init_fn(rngs, img, imu, ts)
     return model, variables
 
 
