@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cde_solver", type=str, default="dopri5")
     p.add_argument("--cde_interpolation", type=str, default="linear",
                    choices=["linear", "cubic"])
+    p.add_argument("--cde_streaming_mode", type=str, default="carry",
+                   choices=["carry", "history"],
+                   help="eval statefulness: carry last z (default) or the "
+                        "reference's re-integrated history ring buffer")
+    p.add_argument("--cde_history_cap", type=int, default=64)
     p.add_argument("--adjoint", action="store_true")
     p.add_argument("--rde_reduced_dim", type=int, default=8)
 
@@ -166,6 +171,8 @@ def config_from_args(args) -> Config:
             cde_activation_fn=args.cde_activation_fn,
             cde_solver=args.cde_solver,
             cde_interpolation=args.cde_interpolation,
+            cde_streaming_mode=args.cde_streaming_mode,
+            cde_history_cap=args.cde_history_cap,
             adjoint=args.adjoint,
             rde_reduced_dim=args.rde_reduced_dim,
             compute_dtype=args.compute_dtype,

@@ -81,9 +81,16 @@ class ModelConfig:
     cde_solver: str = "dopri5"
     adjoint: bool = False
     cde_interpolation: str = "linear"   # linear | cubic  (cubic-Hermite control path)
-    # TPU-native streaming eval: the reference grows an unbounded history
-    # path at eval (PoseCDE.py:87-92); we carry a fixed-size knot buffer.
-    cde_history_cap: int = 256
+    # Streaming-eval statefulness:
+    #   'carry'   (default) — the carried state is the last evaluated z;
+    #             integration continues from it (O(T), static shapes).
+    #   'history' — reference semantics (PoseCDE.py:87-92): keep a ring
+    #             buffer of the last `cde_history_cap` observations, fix z0
+    #             to the FIRST window's initial state, and re-integrate the
+    #             whole buffered path every window (the reference grows it
+    #             unboundedly; the cap keeps shapes static).
+    cde_streaming_mode: str = "carry"
+    cde_history_cap: int = 64
 
     # RDE (PoseRDE.py:69-70)
     logsig_depth: int = 2

@@ -19,14 +19,16 @@ Design notes / reference discrepancies (documented deliberately):
   mathematically intended irregular-sampling behaviour.
 * Control path: linear interpolation (reference) or cubic-Hermite
   (``cfg.cde_interpolation='cubic'``).
-* Streaming eval: the reference appends each window to an unbounded
-  ``history`` path and re-integrates from scratch (PoseCDE.py:87-92) —
-  O(T^2) and shape-dynamic. TPU-native version: the carried state is
-  (z at window start, window-start time), and integration continues from
-  it — O(T) with static shapes. The reference's carried ``z_0`` never
-  advances (it returns the first window's initial state forever,
-  PoseCDE.py:103); we carry the *last* evaluated state, which is the
-  mathematically consistent continuation.
+* Streaming eval, two modes (``cfg.cde_streaming_mode``):
+    - ``'carry'`` (default): the carried state is the last evaluated z and
+      integration continues from it — O(T), static shapes, the
+      mathematically consistent continuation (the reference's carried
+      ``z_0`` never advances, PoseCDE.py:103).
+    - ``'history'``: the reference's semantics (PoseCDE.py:87-92) — append
+      each window to a history path, pin z0 to the first window's initial
+      state and re-integrate the whole path — realised TPU-natively as a
+      fixed-capacity ring buffer (``cde_history_cap``) with zero-length
+      masked prefix segments instead of an unbounded dynamic shape.
 """
 
 from __future__ import annotations
@@ -70,7 +72,11 @@ class PoseCDE(nn.Module):
         x = nn.Dense(H, kernel_init=KAIMING, name="reduction1")(x)
 
         ts = ts.astype(jnp.float32)
-        ts_eff = ts - ts[:, :1] if train or prev is None else ts
+        history_mode = (not train) and cfg.cde_streaming_mode == "history"
+        if history_mode:
+            ts_eff = ts  # sequence clock shared across the whole history
+        else:
+            ts_eff = ts - ts[:, :1] if train or prev is None else ts
         knots = ts_eff[:, 1:]                          # (B, S-1) feature times
         obs = jnp.concatenate([knots[..., None], x], axis=-1)  # (B,S-1,input_dim)
 
@@ -82,12 +88,6 @@ class PoseCDE(nn.Module):
         )
         initial = nn.Dense(H, kernel_init=KAIMING, name="initial")
 
-        if prev is None:
-            z0 = jnp.tanh(initial(obs[:, 0]))          # z0 from first obs
-        else:
-            z0 = prev
-            _ = initial(obs[:, 0])                     # materialize params
-
         opts = dataclasses.replace(
             SolverOptions.from_config(self.solver, train=train),
             unroll_mode="bounded" if train else "while",
@@ -97,6 +97,15 @@ class PoseCDE(nn.Module):
             return apply_cde_func(
                 cde_params, z, cfg.cde_activation_fn, H, input_dim
             )
+
+        if history_mode:
+            return self._history_step(obs, prev, initial, g, opts)
+
+        if prev is None:
+            z0 = jnp.tanh(initial(obs[:, 0]))          # z0 from first obs
+        else:
+            z0 = prev
+            _ = initial(obs[:, 0])                     # materialize params
 
         if cfg.adjoint and train:
             # O(1)-memory continuous-adjoint gradients (torchcde
@@ -126,3 +135,47 @@ class PoseCDE(nn.Module):
 
         poses = PoseRegressor(name="regressor")(zs)
         return poses, zs[:, -1, :]
+
+    def _history_step(self, obs, prev, initial, g, opts):
+        """Reference-semantics streaming eval (PoseCDE.py:87-103) with
+        static shapes: a ring buffer of the last ``cde_history_cap``
+        time-augmented observations; ``z0`` is pinned to the FIRST window's
+        initial state (the reference returns and re-feeds it forever) and
+        the whole buffered path re-integrates every window. Invalid prefix
+        slots collapse onto the earliest valid observation, making their
+        segments zero-length (zero derivative, zero solver steps)."""
+        cfg = self.cfg
+        K = cfg.cde_history_cap
+        B, T, D = obs.shape
+        if K < T:
+            raise ValueError(
+                f"cde_history_cap ({K}) must cover one window ({T} obs)"
+            )
+        if prev is None:
+            z0 = jnp.tanh(initial(obs[:, 0]))
+            buf = jnp.zeros((B, K, D), obs.dtype).at[:, K - T :].set(obs)
+            cnt = jnp.full((B,), T, jnp.int32)
+        else:
+            z0, buf, cnt = prev["z0"], prev["buf"], prev["cnt"]
+            _ = initial(obs[:, 0])  # materialize params consistently
+            buf = jnp.roll(buf, -T, axis=1).at[:, K - T :].set(obs)
+            cnt = jnp.minimum(cnt + T, K)
+
+        pos = jnp.arange(K)[None, :]
+        valid = pos >= (K - cnt)[:, None]
+        first_valid = jnp.take_along_axis(
+            buf,
+            jnp.broadcast_to((K - cnt)[:, None, None], (B, 1, D)).astype(int),
+            axis=1,
+        )
+        buf = jnp.where(valid[..., None], buf, first_valid)
+
+        def solve_one(buf_i, z0_i):
+            path = make_path(buf_i[:, 0], buf_i, cfg.cde_interpolation)
+            return cdeint(path, g, z0_i, buf_i[:, 0], opts)
+
+        zs_all, stats = jax.vmap(solve_one)(buf, z0)
+        self.sow("intermediates", "cde_steps_accepted",
+                 jnp.sum(stats.accepted))
+        poses = PoseRegressor(name="regressor")(zs_all[:, -T:])
+        return poses, {"z0": z0, "buf": buf, "cnt": cnt}

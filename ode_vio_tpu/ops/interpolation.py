@@ -60,9 +60,14 @@ class InterpolatedPath(NamedTuple):
 
 def linear_path(ts: jnp.ndarray, xs: jnp.ndarray) -> InterpolatedPath:
     """Piecewise-linear interpolation of observations ``xs`` (T, C) at knot
-    times ``ts`` (T,) — `torchcde.linear_interpolation_coeffs` parity."""
+    times ``ts`` (T,) — `torchcde.linear_interpolation_coeffs` parity.
+
+    Zero-length segments (repeated knots, used by masked/ring-buffer
+    streaming paths) are tolerated: their derivative is defined as 0.
+    """
     dt = (ts[1:] - ts[:-1])[:, None]
-    b = (xs[1:] - xs[:-1]) / dt
+    safe_dt = jnp.where(dt > 0, dt, 1.0)
+    b = (xs[1:] - xs[:-1]) / safe_dt
     zeros = jnp.zeros_like(b)
     return InterpolatedPath(ts=ts, a=xs[:-1], b=b, c=zeros, d=zeros)
 
@@ -75,11 +80,12 @@ def cubic_hermite_path(ts: jnp.ndarray, xs: jnp.ndarray) -> InterpolatedPath:
     ``m_0 = m_1`` so the first segment degrades gracefully.
     """
     dt = ts[1:] - ts[:-1]
-    diffs = (xs[1:] - xs[:-1]) / dt[:, None]          # (T-1, C)
+    safe = jnp.where(dt > 0, dt, 1.0)
+    diffs = (xs[1:] - xs[:-1]) / safe[:, None]        # (T-1, C)
     m = jnp.concatenate([diffs[:1], diffs], axis=0)   # (T, C) backward diffs
     m0, m1 = m[:-1], m[1:]
     x0, x1 = xs[:-1], xs[1:]
-    h = dt[:, None]
+    h = safe[:, None]
     # Hermite basis on s in [0, h]
     c = (3.0 * (x1 - x0) / h - 2.0 * m0 - m1) / h
     d = (2.0 * (x0 - x1) / h + m0 + m1) / (h * h)
