@@ -109,6 +109,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr_warmup", type=float, default=1e-4)
     p.add_argument("--lr_joint", type=float, default=1e-5)
     p.add_argument("--lr_fine", type=float, default=1e-6)
+    p.add_argument("--lr_regressor", type=float, default=None,
+                   help="separate fixed LR for the pose-regressor param "
+                        "group (reference utils/utils.py:116-119)")
     p.add_argument("--gradient_clip", type=float, default=5.0)
     p.add_argument("--shuffle", type=lambda s: s.lower() != "false", default=True)
 
@@ -206,7 +209,7 @@ def config_from_args(args) -> Config:
             epochs_joint=args.epochs_joint,
             epochs_fine=args.epochs_fine,
             lr_warmup=args.lr_warmup, lr_joint=args.lr_joint,
-            lr_fine=args.lr_fine,
+            lr_fine=args.lr_fine, lr_regressor=args.lr_regressor,
             gradient_clip=args.gradient_clip,
             freeze_encoder=args.freeze_encoder,
             seed=args.seed,

@@ -159,6 +159,12 @@ class TrainConfig:
     lr_warmup: float = 1e-4
     lr_joint: float = 1e-5
     lr_fine: float = 1e-6
+    # Separate learning rate for the pose-regressor param group. The
+    # reference keeps the regressor in its own optimizer group whose LR the
+    # epoch schedule never touches (utils/utils.py:116-119,
+    # train_model.py:214-216). None = single group (regressor follows the
+    # global schedule).
+    lr_regressor: float | None = None
     gradient_clip: float = 5.0
     freeze_encoder: bool = False
     seed: int = 0

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ode_vio_tpu.config import ModelConfig
+from ode_vio_tpu.models.common import KAIMING
 
 
 def _space_to_depth_conv(x, kernel, dtype):
@@ -108,6 +109,7 @@ class ConvBlock(nn.Module):
                 padding=((pad, pad), (pad, pad)),
                 use_bias=False,
                 dtype=self.dtype,
+                kernel_init=KAIMING,
                 name="conv",
             )(x)
         x = nn.BatchNorm(
@@ -158,7 +160,8 @@ class ImageEncoder(nn.Module):
             x = ConvBlock(f, k, s, d, dtype=dtype, s2d=s2d,
                           name=f"block{i}")(x, train)
         x = x.reshape(B, S - 1, -1)
-        x = nn.Dense(self.cfg.v_f_len, dtype=dtype, name="visual_head")(x)
+        x = nn.Dense(self.cfg.v_f_len, dtype=dtype, kernel_init=KAIMING,
+                     name="visual_head")(x)
         return x.astype(jnp.float32)
 
 
@@ -185,12 +188,13 @@ class InertialEncoder(nn.Module):
 
         for i, f in enumerate((64, 128, 256)):
             x = nn.Conv(f, (3,), padding=((1, 1),), use_bias=True,
-                        dtype=dtype, name=f"conv{i}")(x)
+                        dtype=dtype, kernel_init=KAIMING, name=f"conv{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=jnp.float32, name=f"bn{i}")(x)
             x = nn.leaky_relu(x.astype(dtype), 0.1)
             x = nn.Dropout(self.cfg.imu_dropout, deterministic=not train)(x)
 
         x = x.reshape(B, num_windows, -1)               # (B, S-1, 11*256)
-        x = nn.Dense(self.cfg.i_f_len, dtype=dtype, name="proj")(x)
+        x = nn.Dense(self.cfg.i_f_len, dtype=dtype, kernel_init=KAIMING,
+                     name="proj")(x)
         return x.astype(jnp.float32)

@@ -14,6 +14,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ode_vio_tpu.models.common import KAIMING
+
 
 def gumbel_softmax(rng, logits, tau: float = 1.0, hard: bool = True, axis=-1):
     """Straight-through Gumbel-softmax (the torch semantics: samples in both
@@ -37,10 +39,12 @@ class FusionModule(nn.Module):
         if self.fuse_method == "cat":
             return feat
         if self.fuse_method == "soft":
-            weights = nn.Dense(self.feature_dim, name="gate")(feat)
+            weights = nn.Dense(self.feature_dim, kernel_init=KAIMING,
+                               name="gate")(feat)
             return feat * weights
         if self.fuse_method == "hard":
-            logits = nn.Dense(2 * self.feature_dim, name="gate")(feat)
+            logits = nn.Dense(2 * self.feature_dim, kernel_init=KAIMING,
+                              name="gate")(feat)
             logits = logits.reshape(feat.shape[:-1] + (self.feature_dim, 2))
             mask = gumbel_softmax(self.make_rng("gumbel"), logits, tau=1.0, hard=True)
             return feat * mask[..., 0]

@@ -50,54 +50,92 @@ def lr_for_epoch(cfg: Config, epoch: int) -> float:
     return t.lr_fine
 
 
+def _param_group(path, freeze_encoder: bool, split_regressor: bool) -> str:
+    """Param-group label for one param path. Mirrors the reference's
+    optimizer param groups (utils/utils.py:116-119: pose-net 'other' params
+    vs the pose regressor) plus its encoder freeze (train_model.py:191)."""
+    keys = [getattr(p, "key", None) for p in path]
+    if freeze_encoder and keys[0] == "image_encoder":
+        return "frozen"
+    if split_regressor and "regressor" in keys:
+        return "regressor"
+    return "train"
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     """clip-by-global-norm -> decoupled-into-grads weight decay (torch Adam
     semantics: wd*param added to the gradient before the moment update) ->
-    Adam/SGD, with injectable learning rate, optional encoder freeze and
-    gradient accumulation (utils/utils.py:115-130 parity)."""
+    Adam/SGD, with injectable learning rate, optional encoder freeze,
+    optional separate regressor learning rate and gradient accumulation
+    (utils/utils.py:115-130 parity).
+
+    Per-param-group learning rates: the reference builds two groups —
+    pose-net 'other' params and the regressor — and the epoch schedule is
+    written to group 0 only (train_model.py:214-216), so the regressor's
+    LR is independently controllable. With ``cfg.train.lr_regressor`` set,
+    the regressor params get their own injected LR (update it with
+    ``set_learning_rate(opt_state, lr, group='regressor')``); the epoch
+    schedule drives only the 'train' group, exactly like the reference.
+    """
     t = cfg.train
 
-    @optax.inject_hyperparams
-    def base(learning_rate):
-        chain = [optax.clip_by_global_norm(t.gradient_clip)]
-        if t.weight_decay:
-            chain.append(optax.add_decayed_weights(t.weight_decay))
-        if t.optimizer.lower() == "sgd":
-            chain.append(optax.trace(decay=0.9))  # momentum 0.9
-        else:
-            chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
-        chain.append(optax.scale_by_learning_rate(learning_rate))
-        return optax.chain(*chain)
+    def base(lr0: float):
+        @optax.inject_hyperparams
+        def make(learning_rate):
+            chain = [optax.clip_by_global_norm(t.gradient_clip)]
+            if t.weight_decay:
+                chain.append(optax.add_decayed_weights(t.weight_decay))
+            if t.optimizer.lower() == "sgd":
+                chain.append(optax.trace(decay=0.9))  # momentum 0.9
+            else:
+                chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+            chain.append(optax.scale_by_learning_rate(learning_rate))
+            return optax.chain(*chain)
 
-    tx = base(learning_rate=t.lr_warmup)
+        return make(learning_rate=lr0)
 
-    if t.freeze_encoder:
-        # the reference freezes only the image encoder (train_model.py:191)
-        def label(path, _):
-            return "frozen" if path[0].key == "image_encoder" else "train"
+    split_regressor = t.lr_regressor is not None
+    if t.freeze_encoder or split_regressor:
+        transforms = {"train": base(t.lr_warmup)}
+        if t.freeze_encoder:
+            transforms["frozen"] = optax.set_to_zero()
+        if split_regressor:
+            transforms["regressor"] = base(t.lr_regressor)
 
-        tx = optax.multi_transform(
-            {"train": tx, "frozen": optax.set_to_zero()},
-            param_labels=lambda params: jax.tree_util.tree_map_with_path(
-                label, params
-            ),
-        )
+        def labels(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: _param_group(
+                    path, t.freeze_encoder, split_regressor
+                ),
+                params,
+            )
+
+        tx = optax.multi_transform(transforms, param_labels=labels)
+    else:
+        tx = base(t.lr_warmup)
 
     if t.grad_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=t.grad_accumulation_steps)
     return tx
 
 
-def set_learning_rate(opt_state, lr: float):
-    """Override the injected learning rate (per-epoch schedule), walking
-    through MultiSteps / multi_transform wrappers."""
+def set_learning_rate(opt_state, lr: float, group: str = "train"):
+    """Override one param group's injected learning rate (the per-epoch
+    schedule writes the 'train' group only, matching the reference's
+    ``optimizer.param_groups[0]['lr'] = lr``, train_model.py:214-216),
+    walking through MultiSteps / multi_transform wrappers."""
 
     def walk(s):
         if isinstance(s, optax.MultiStepsState):
             return s._replace(inner_opt_state=walk(s.inner_opt_state))
         if hasattr(s, "inner_states"):  # multi_transform Partition state
             inner = dict(s.inner_states)
-            inner["train"] = walk(inner["train"])
+            if group not in inner:
+                raise KeyError(
+                    f"param group '{group}' not in optimizer "
+                    f"(have {sorted(inner)})"
+                )
+            inner[group] = walk(inner[group])
             return type(s)(inner_states=inner)
         if hasattr(s, "hyperparams"):  # InjectHyperparams / stateful variant
             hp = dict(s.hyperparams)

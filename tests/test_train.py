@@ -74,6 +74,50 @@ class TestSchedule:
         find_lr(new)
         assert found and found[0] == pytest.approx(3e-5)
 
+    def test_regressor_group_keeps_own_lr(self):
+        """Reference parity: the epoch schedule writes param group 0 only
+        (train_model.py:214-216); the regressor group's LR is untouched."""
+        cfg = tiny_config(lr_regressor=5e-4, freeze_encoder=True)
+        _, tx, state = setup(cfg)
+        new = set_learning_rate(state.opt_state, 1e-5)  # 'train' group
+
+        def group_lr(s, g):
+            if hasattr(s, "inner_opt_state"):
+                return group_lr(s.inner_opt_state, g)
+            return float(s.inner_states[g].inner_state.hyperparams[
+                "learning_rate"])
+
+        assert group_lr(new, "train") == pytest.approx(1e-5)
+        assert group_lr(new, "regressor") == pytest.approx(5e-4)
+
+        new2 = set_learning_rate(new, 7e-4, group="regressor")
+        assert group_lr(new2, "train") == pytest.approx(1e-5)
+        assert group_lr(new2, "regressor") == pytest.approx(7e-4)
+
+        with pytest.raises(KeyError):
+            set_learning_rate(new, 1e-3, group="nonexistent")
+
+    def test_regressor_group_updates_at_own_rate(self):
+        """Functionally: with the regressor LR zeroed, the regressor params
+        must not move while the rest of the pose net does."""
+        cfg = tiny_config(lr_regressor=0.0)
+        model, tx, state = setup(cfg)
+        step = make_train_step(model, tx, cfg)
+
+        def regressor_leaves(params):
+            flat = jax.tree_util.tree_flatten_with_path(params)[0]
+            reg, rest = [], []
+            for path, leaf in flat:
+                keys = [getattr(p, "key", None) for p in path]
+                (reg if "regressor" in keys else rest).append(np.asarray(leaf))
+            return reg, rest
+
+        reg0, rest0 = regressor_leaves(state.params["pose_net"])
+        state, _ = step(state, *tiny_batch())
+        reg1, rest1 = regressor_leaves(state.params["pose_net"])
+        assert reg0 and all((a == b).all() for a, b in zip(reg0, reg1))
+        assert any((a != b).any() for a, b in zip(rest0, rest1))
+
 
 class TestTrainStep:
     def test_loss_decreases(self):
@@ -94,6 +138,9 @@ class TestTrainStep:
         before = jax.tree_util.tree_map(
             np.asarray, state.params["image_encoder"]
         )
+        # the epoch schedule must not unfreeze anything
+        state = state.replace(
+            opt_state=set_learning_rate(state.opt_state, 3e-5))
         step = make_train_step(model, tx, cfg)
         state, _ = step(state, *tiny_batch())
         after = state.params["image_encoder"]
