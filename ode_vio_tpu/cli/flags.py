@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrain_flownet", type=str, default=None,
                    help="torch FlowNet-S .pth(.tar) to convert and load")
     p.add_argument("--wandb", action="store_true")
+    p.add_argument("--wandb_group", type=str, default=None,
+                   help="wandb run group (train_model.py:240)")
+    p.add_argument("--wandb_id", type=str, default=None,
+                   help="wandb run id to resume (resume='must', "
+                        "train_model.py:238)")
     p.add_argument("--run_times", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--workers", type=int, default=8)

@@ -63,6 +63,11 @@ def main(argv=None):
             evaluator.generate_plots(dirs["graphs"])
             evaluator.save_text(dirs["poses"])
 
+    if infer.incomplete() > 0:
+        logger.warning(
+            "%d ODE solves hit the step budget before t1 across all runs "
+            "(truncated; raise ode_max_steps)", infer.incomplete(),
+        )
     summary = summarize_runs(all_runs, cfg.data.val_seq)
     (dirs["base"] / "summary.txt").write_text(summary + "\n")
     logger.info("summary:\n%s", summary)

@@ -92,6 +92,13 @@ def train_epoch(cfg, loader, train_step, state, mesh, logger, epoch,
                 epoch, it + 1, len(loader), m["loss"],
                 m["angle_loss"], m["trans_loss"],
             )
+            if m.get("solver_incomplete", 0) > 0:
+                logger.warning(
+                    "epoch %d iter %d: %d ODE solves hit the step budget "
+                    "before t1 (truncated integral; raise max_steps_train "
+                    "or loosen tolerances)",
+                    epoch, it + 1, int(m["solver_incomplete"]),
+                )
     if profiling:  # short epoch: close the trace cleanly
         jax.profiler.stop_trace()
     return state, float(np.mean([float(l) for l in losses])) if losses else 0.0
@@ -147,13 +154,19 @@ def main(argv=None):
     ckpt = CheckpointManager(dirs["checkpoints"])
 
     init_epoch = 0
+    best = float("inf")
     if cfg.pretrain:
         resume = CheckpointManager(cfg.pretrain)
         latest = resume.latest_epoch()
         if latest is not None:
             state = resume.restore(resume.epoch_name(latest), state)
             init_epoch = latest + 1
-            logger.info("resumed from %s epoch %d", cfg.pretrain, latest)
+            # carry the best-so-far across the resume so a resumed run
+            # cannot overwrite a better earlier best checkpoint
+            meta = resume.metadata(resume.epoch_name(latest)) or {}
+            best = float(meta.get("best_t_rel", best))
+            logger.info("resumed from %s epoch %d (best t_rel %.4f)",
+                        cfg.pretrain, latest, best)
 
     # replicate the train state over the mesh so a restored (host-resident)
     # checkpoint and a fresh init behave identically under the sharded step
@@ -168,12 +181,24 @@ def main(argv=None):
         try:
             import wandb
 
-            wandb_run = wandb.init(project="ode-vio-tpu",
-                                   name=cfg.experiment_name)
+            # group/id/resume parity with train_model.py:237-248: an
+            # explicit id resumes that run ("must"); otherwise a fresh id
+            run_id = getattr(args, "wandb_id", None)
+            resume_mode = "must" if run_id else "allow"
+            if run_id is None:
+                run_id = wandb.util.generate_id()
+            logger.info("wandb run id: %s", run_id)
+            wandb_run = wandb.init(
+                project="ode-vio-tpu",
+                group=getattr(args, "wandb_group", None),
+                id=run_id,
+                resume=resume_mode,
+                name=cfg.experiment_name,
+                config=vars(args),
+            )
         except Exception as e:  # wandb not installed / offline
             logger.warning("wandb unavailable (%s); continuing without", e)
 
-    best = float("inf")
     for epoch in range(init_epoch, cfg.train.total_epochs):
         lr = lr_for_epoch(cfg, epoch)
         state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
@@ -189,8 +214,8 @@ def main(argv=None):
                     time.time() - t0)
 
         if epoch % cfg.train.ckpt_every == 0:
-            ckpt.save(ckpt.epoch_name(epoch),
-                      jax.device_get(state), {"epoch": epoch})
+            ckpt.save(ckpt.epoch_name(epoch), jax.device_get(state),
+                      {"epoch": epoch, "best_t_rel": best})
 
         # per-epoch KITTI eval (train_model.py:98-119)
         evaluator = KittiEvaluator(
@@ -205,6 +230,12 @@ def main(argv=None):
         t_rel = float(np.mean([e["t_rel"] for e in errors]))
         r_rel = float(np.mean([e["r_rel"] for e in errors]))
         logger.info("epoch %d eval: t_rel %.4f r_rel %.4f", epoch, t_rel, r_rel)
+        if infer.incomplete() > 0:
+            logger.warning(
+                "epoch %d eval: %d ODE solves hit the step budget before "
+                "t1 (truncated; raise ode_max_steps)",
+                epoch, infer.incomplete(),
+            )
         evaluator.generate_plots(dirs["graphs"], tag=f"_{epoch}")
         if t_rel < best:
             best = t_rel

@@ -183,6 +183,82 @@ def convert_regressor(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
     }
 
 
+def convert_cfc_cell(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    """ncps-style CfC cell tensors -> ops.liquid CfC params. Layout: ncps's
+    CfCCell ('default' mode) holds ``backbone.0`` (Linear over [x, h]),
+    ``ff1``/``ff2`` candidate heads and ``time_a``/``time_b`` gate heads —
+    exactly the structure of :func:`ode_vio_tpu.ops.liquid.init_cfc`, kept
+    in the torch (out, in) layout, so tensors copy through unchanged
+    (reference cell: PoseNCP.py:21-27 via ncps.torch.CfC)."""
+    def lin(name):
+        return {
+            "w": np.asarray(sd[f"{prefix}{name}.weight"]),
+            "b": np.asarray(sd[f"{prefix}{name}.bias"]),
+        }
+
+    return {
+        "backbone": lin("backbone.0"),
+        "ff1": lin("ff1"),
+        "ff2": lin("ff2"),
+        "time_a": lin("time_a"),
+        "time_b": lin("time_b"),
+    }
+
+
+def convert_ltc_cell(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    """LTC cell tensors -> ops.liquid LTC params. Our LTC is a TPU-first
+    re-design (fused semi-implicit Euler over W_x/W_h conductances,
+    ops/liquid.py:68-99) — not ncps's per-synapse biophysical
+    parameterisation, which has no one-to-one tensor mapping. The accepted
+    layout is the torch replica of OUR cell: ``w_x``/``w_h`` Linears plus
+    ``log_tau``/``A`` vectors (tests/test_convert_cores.py pins parity)."""
+    return {
+        "w_x": {"w": np.asarray(sd[f"{prefix}w_x.weight"]),
+                "b": np.asarray(sd[f"{prefix}w_x.bias"])},
+        "w_h": {"w": np.asarray(sd[f"{prefix}w_h.weight"]),
+                "b": np.asarray(sd[f"{prefix}w_h.bias"])},
+        "log_tau": np.asarray(sd[f"{prefix}log_tau"]),
+        "A": np.asarray(sd[f"{prefix}A"]),
+    }
+
+
+def convert_pose_net(
+    sd: Mapping[str, np.ndarray],
+    model_type: str,
+    rnn_num_layers: int = 2,
+    prefix: str = "Pose_net.",
+) -> dict:
+    """Reference pose-core state_dict -> our pose_net param subtree.
+    Covers all six families (reference modules PoseODERNN.py:39-68,
+    PoseRNN.py:6-52, PoseCDE.py:43-74, PoseRDE.py:43-72, PoseNCP.py:7-37)."""
+    pose: dict = {}
+    if model_type in ("ode-rnn", "rnn"):
+        if model_type == "ode-rnn":
+            pose["ode_func"] = convert_mlp(sd, f"{prefix}ode_func.net")
+        pose["rnn"] = convert_rnn_stack(sd, f"{prefix}rnn.", rnn_num_layers)
+    elif model_type in ("cde", "rde"):
+        pose["cde_func"] = convert_mlp(sd, f"{prefix}cde_func.net")
+        # initial state net: Sequential(Linear, Tanh) (PoseCDE.py:58-61)
+        pose["initial"] = convert_dense(sd, f"{prefix}initial.0")
+        if model_type == "cde":
+            # reduction_net: Linear -> LeakyReLU -> Linear (PoseCDE.py:53-57)
+            pose["reduction0"] = convert_dense(sd, f"{prefix}reduction_net.0")
+            pose["reduction1"] = convert_dense(sd, f"{prefix}reduction_net.2")
+        else:
+            # single Linear (PoseRDE.py:57)
+            pose["reduction"] = convert_dense(sd, f"{prefix}reduction_net")
+    elif model_type == "cfc":
+        pose["cfc"] = convert_cfc_cell(sd, f"{prefix}rnn.rnn_cell.")
+    elif model_type == "ltc":
+        pose["ltc"] = convert_ltc_cell(sd, f"{prefix}rnn.")
+    else:
+        raise ValueError(f"unknown pose core '{model_type}'")
+    pose["regressor"] = convert_regressor(sd, f"{prefix}regressor")
+    if f"{prefix}fuse.net.0.weight" in sd:
+        pose["fuse"] = {"gate": convert_dense(sd, f"{prefix}fuse.net.0")}
+    return pose
+
+
 def convert_deepvio(
     sd: Mapping[str, np.ndarray],
     model_type: str,
@@ -190,25 +266,13 @@ def convert_deepvio(
     conv_out_hw: tuple[int, int] = (4, 8),
 ) -> dict:
     """Full reference DeepVIO state_dict -> our {'params','batch_stats'}
-    variables (pose-core coverage: ode-rnn, rnn)."""
+    variables, for every pose-core family."""
     img_p, img_s = convert_image_encoder(sd, conv_out_hw, prefix="Image_net.")
     imu_p, imu_s = convert_inertial_encoder(sd, prefix="Inertial_net.")
-    pose: dict = {}
-    if model_type in ("ode-rnn", "rnn"):
-        if model_type == "ode-rnn":
-            pose["ode_func"] = convert_mlp(sd, "Pose_net.ode_func.net")
-        pose["rnn"] = convert_rnn_stack(sd, "Pose_net.rnn.", rnn_num_layers)
-        pose["regressor"] = convert_regressor(sd, "Pose_net.regressor")
-        if "Pose_net.fuse.net.0.weight" in sd:
-            pose["fuse"] = {"gate": convert_dense(sd, "Pose_net.fuse.net.0")}
-    else:
-        raise NotImplementedError(
-            f"conversion for pose core '{model_type}' not implemented yet"
-        )
     params = {
         "image_encoder": img_p,
         "inertial_encoder": imu_p,
-        "pose_net": pose,
+        "pose_net": convert_pose_net(sd, model_type, rnn_num_layers),
     }
     stats = {"image_encoder": img_s, "inertial_encoder": imu_s}
     return {"params": params, "batch_stats": stats}

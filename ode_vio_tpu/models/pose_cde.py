@@ -132,6 +132,8 @@ class PoseCDE(nn.Module):
             zs, stats = jax.vmap(solve_one)(obs, knots, z0)   # (B, S-1, H)
             self.sow("intermediates", "cde_steps_accepted",
                      jnp.sum(stats.accepted))
+            self.sow("intermediates", "cde_solves_incomplete",
+                     jnp.sum(stats.incomplete))
 
         poses = PoseRegressor(name="regressor")(zs)
         return poses, zs[:, -1, :]
@@ -139,11 +141,23 @@ class PoseCDE(nn.Module):
     def _history_step(self, obs, prev, initial, g, opts):
         """Reference-semantics streaming eval (PoseCDE.py:87-103) with
         static shapes: a ring buffer of the last ``cde_history_cap``
-        time-augmented observations; ``z0`` is pinned to the FIRST window's
-        initial state (the reference returns and re-feeds it forever) and
-        the whole buffered path re-integrates every window. Invalid prefix
-        slots collapse onto the earliest valid observation, making their
-        segments zero-length (zero derivative, zero solver steps)."""
+        time-augmented observations re-integrated every window from the
+        carried initial state. Invalid prefix slots collapse onto the
+        earliest valid observation, making their segments zero-length
+        (zero derivative, zero solver steps).
+
+        Eviction exactness: when the buffer saturates, the carried initial
+        state is ADVANCED across the evicted prefix (one T-segment solve
+        over the outgoing observations) before re-integrating, so for
+        linear control paths the capped mode reproduces the reference's
+        unbounded re-integration exactly up to solver tolerance — the
+        restriction of the CDE solution to the retained path started from
+        z(t_evict) equals the full-path solution (piecewise interpolation
+        is local). While no entries have been evicted, the advance solve
+        covers only zero-length masked segments and is a no-op, leaving z0
+        pinned to the first window's initial state (PoseCDE.py:103).
+        Accuracy vs the uncapped semantics is pinned by
+        tests/test_cde_history.py::TestCapAccuracy."""
         cfg = self.cfg
         K = cfg.cde_history_cap
         B, T, D = obs.shape
@@ -158,6 +172,18 @@ class PoseCDE(nn.Module):
         else:
             z0, buf, cnt = prev["z0"], prev["buf"], prev["cnt"]
             _ = initial(obs[:, 0])  # materialize params consistently
+
+            # advance z0 over the T outgoing slots (masked prefix slots are
+            # zero-length segments -> exact no-op before saturation)
+            evict = buf[:, : T + 1]
+
+            def advance_one(seg_i, z0_i):
+                path = make_path(seg_i[:, 0], seg_i, cfg.cde_interpolation)
+                zs, _ = cdeint(path, g, z0_i, seg_i[:, 0], opts)
+                return zs[-1]
+
+            z0 = jax.vmap(advance_one)(evict, z0)
+
             buf = jnp.roll(buf, -T, axis=1).at[:, K - T :].set(obs)
             cnt = jnp.minimum(cnt + T, K)
 
@@ -177,5 +203,7 @@ class PoseCDE(nn.Module):
         zs_all, stats = jax.vmap(solve_one)(buf, z0)
         self.sow("intermediates", "cde_steps_accepted",
                  jnp.sum(stats.accepted))
+        self.sow("intermediates", "cde_solves_incomplete",
+                 jnp.sum(stats.incomplete))
         poses = PoseRegressor(name="regressor")(zs_all[:, -T:])
         return poses, {"z0": z0, "buf": buf, "cnt": cnt}

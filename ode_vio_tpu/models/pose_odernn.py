@@ -109,12 +109,12 @@ class PoseODERNN(nn.Module):
             def evolve(y, t0, t1, dt0):
                 y1 = adj(y, t0, t1)
                 zero = jnp.zeros((), jnp.int32)
-                return y1, dt0, zero, zero
+                return y1, dt0, zero, zero, zero
         elif use_pallas:
             from ode_vio_tpu.ops.pallas_kernels import fused_ode_solve
 
             def evolve(y, t0, t1, dt0):
-                y1, dt_fin, acc, rej = fused_ode_solve(
+                y1, dt_fin, acc, rej, inc = fused_ode_solve(
                     ode_params, y, t0, t1,
                     activation=cfg.ode_activation_fn,
                     method=opts.method, rtol=opts.rtol, atol=opts.atol,
@@ -122,7 +122,7 @@ class PoseODERNN(nn.Module):
                     safety=opts.safety, factor_min=opts.factor_min,
                     factor_max=opts.factor_max,
                 )
-                return y1, dt_fin, acc.sum(), rej.sum()
+                return y1, dt_fin, acc.sum(), rej.sum(), inc.sum()
         else:
             solve = jax.vmap(
                 lambda y, a, b, d: solve_ivp_dt(ode_fn, y, a, b, opts, d)
@@ -130,7 +130,8 @@ class PoseODERNN(nn.Module):
 
             def evolve(y, t0, t1, dt0):
                 y1, dt_fin, stats = solve(y, t0, t1, dt0)
-                return y1, dt_fin, stats.accepted.sum(), stats.rejected.sum()
+                return (y1, dt_fin, stats.accepted.sum(),
+                        stats.rejected.sum(), stats.incomplete.sum())
 
         def step(carry, inp):
             h, dt = carry
@@ -138,10 +139,12 @@ class PoseODERNN(nn.Module):
             # evolve all L layers' states in one batched solve; the
             # controller's final dt warm-starts the next frame's solve
             y = h.reshape(L * B, F)
-            y1, dt_fin, acc, rej = evolve(y, jnp.tile(t0, L), jnp.tile(t1, L), dt)
+            y1, dt_fin, acc, rej, inc = evolve(
+                y, jnp.tile(t0, L), jnp.tile(t1, L), dt
+            )
             h_evolved = y1.reshape(L, B, F)
             out, h_new = step_stack(cfg.ode_rnn_type, rnn_params, x_t, h_evolved)
-            return (h_new, dt_fin), (out, acc, rej)
+            return (h_new, dt_fin), (out, acc, rej, inc)
 
         xs = (
             jnp.swapaxes(fused, 0, 1),   # (S-1, B, F)
@@ -149,9 +152,13 @@ class PoseODERNN(nn.Module):
             ts_eff[:, 1:].T,
         )
         dt_init = jnp.full((L * B,), opts.dt0, jnp.float32)
-        (h_T, _), (outs, acc, rej) = lax.scan(step, (h0, dt_init), xs)
+        (h_T, _), (outs, acc, rej, inc) = lax.scan(step, (h0, dt_init), xs)
         self.sow("intermediates", "ode_steps_accepted", jnp.sum(acc))
         self.sow("intermediates", "ode_steps_rejected", jnp.sum(rej))
+        # count of (lane, interval) solves that ran out of step budget
+        # before reaching t1 — nonzero means the integration silently
+        # truncated (starved max_steps/max_steps_train)
+        self.sow("intermediates", "ode_solves_incomplete", jnp.sum(inc))
 
         outs = jnp.swapaxes(outs, 0, 1)  # (B, S-1, F)
         outs = nn.Dropout(cfg.rnn_dropout_out, deterministic=not train)(outs)

@@ -97,6 +97,8 @@ class PoseRDE(nn.Module):
 
         zs, stats = jax.vmap(solve_one)(obs, knots, knots, z0)
         self.sow("intermediates", "rde_steps_accepted", jnp.sum(stats.accepted))
+        self.sow("intermediates", "rde_solves_incomplete",
+                 jnp.sum(stats.incomplete))
 
         poses = PoseRegressor(name="regressor")(zs)
         return poses, zs[:, -1, :]

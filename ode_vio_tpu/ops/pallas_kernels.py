@@ -61,7 +61,9 @@ def fused_ode_solve(
 
     params: ops.mlp layer list [{'w': (out,in), 'b': (out,)}, ...].
     ``dt0`` may be a scalar or a per-row (N,) warm-start array.
-    Returns (y1 (N, F), dt_final (N,), accepted (N,), rejected (N,)).
+    Returns (y1 (N, F), dt_final (N,), accepted (N,), rejected (N,),
+    incomplete (N,)) — ``incomplete[i]=1`` when row i exhausted
+    ``max_steps`` before reaching ``t1`` (partial integral returned).
     """
     if interpret is None:  # Mosaic on TPU, interpreter elsewhere (tests/CPU)
         interpret = jax.default_backend() != "tpu"
@@ -102,7 +104,7 @@ def fused_ode_solve(
 
     def kernel(y0_ref, t0_ref, t1_ref, dt0_ref, *refs):
         wrefs = refs[: 2 * n_layers]
-        y1_ref, dt_ref, acc_ref, rej_ref = refs[2 * n_layers :]
+        y1_ref, dt_ref, acc_ref, rej_ref, inc_ref = refs[2 * n_layers :]
 
         y_init = y0_ref[:]
         t_init = t0_ref[:]
@@ -179,11 +181,14 @@ def fused_ode_solve(
             zero_i,
             zero_i,
         )
-        _, _, dt_fin, y_fin, _, acc, rej = jax.lax.while_loop(cond, body, carry)
+        _, t_fin, dt_fin, y_fin, _, acc, rej = jax.lax.while_loop(
+            cond, body, carry
+        )
         y1_ref[:] = y_fin
         dt_ref[:] = dt_fin
         acc_ref[:] = acc
         rej_ref[:] = rej
+        inc_ref[:] = ((t_end - t_fin) > 0.0).astype(jnp.int32)
 
     vmem = functools.partial(pl.BlockSpec, memory_space=pl.ANY if interpret
                              else pltpu.VMEM)
@@ -194,11 +199,12 @@ def fused_ode_solve(
             jax.ShapeDtypeStruct((rows, 1), jnp.float32),
             jax.ShapeDtypeStruct((rows, 1), jnp.int32),
             jax.ShapeDtypeStruct((rows, 1), jnp.int32),
+            jax.ShapeDtypeStruct((rows, 1), jnp.int32),
         ),
         in_specs=[vmem()] * (4 + 2 * n_layers),
-        out_specs=(vmem(), vmem(), vmem(), vmem()),
+        out_specs=(vmem(), vmem(), vmem(), vmem(), vmem()),
         interpret=interpret,
     )(y0p, t0p, t1p, dt0p, *flat_weights)
 
-    y1, dt_fin, acc, rej = out
-    return y1[:N], dt_fin[:N, 0], acc[:N, 0], rej[:N, 0]
+    y1, dt_fin, acc, rej, inc = out
+    return y1[:N], dt_fin[:N, 0], acc[:N, 0], rej[:N, 0], inc[:N, 0]

@@ -158,6 +158,16 @@ def create_train_state(cfg: Config, variables, tx, rng) -> TrainState:
     )
 
 
+def _sum_sown(inter, substr: str) -> jnp.ndarray:
+    """Sum every sown 'intermediates' leaf whose path mentions ``substr``
+    (e.g. 'incomplete' -> total truncated solves this call)."""
+    total = jnp.zeros((), jnp.int32)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(inter)[0]:
+        if any(substr in str(getattr(p, "key", "")) for p in path):
+            total = total + jnp.asarray(leaf, jnp.int32).sum()
+    return total
+
+
 def make_train_step(model, tx, cfg: Config) -> Callable:
     """Build the jitted train step: (state, img, imu, gts, ts) ->
     (state, metrics). Donates the state for in-place device updates."""
@@ -169,18 +179,19 @@ def make_train_step(model, tx, cfg: Config) -> Callable:
             img, imu, ts,
             train=True,
             rngs=rngs,
-            mutable=["batch_stats"],
+            mutable=["batch_stats", "intermediates"],
         )
         angle = jnp.mean((poses[..., :3] - gts[..., :3]) ** 2)
         trans = jnp.mean((poses[..., 3:] - gts[..., 3:]) ** 2)
         loss = w * angle + trans
-        return loss, (updates["batch_stats"], angle, trans)
+        incomplete = _sum_sown(updates.get("intermediates", {}), "incomplete")
+        return loss, (updates["batch_stats"], angle, trans, incomplete)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, img, imu, gts, ts):
         rng, r_drop, r_gumbel = jax.random.split(state.rng, 3)
         rngs = {"dropout": r_drop, "gumbel": r_gumbel}
-        (loss, (new_bs, angle, trans)), grads = jax.value_and_grad(
+        (loss, (new_bs, angle, trans, incomplete)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, img, imu, gts, ts, rngs)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -190,6 +201,9 @@ def make_train_step(model, tx, cfg: Config) -> Callable:
             "angle_loss": angle,
             "trans_loss": trans,
             "grad_norm": optax.global_norm(grads),
+            # solves that hit the step budget before t1 (gradients of a
+            # truncated integral quietly change meaning — log loudly)
+            "solver_incomplete": incomplete,
         }
         return (
             TrainState(
@@ -208,30 +222,43 @@ def make_train_step(model, tx, cfg: Config) -> Callable:
 def make_infer_fn(model, variables) -> Callable:
     """Build the streaming-eval callable
     ``infer(imgs, imus, ts, carry) -> (poses, carry)`` with both the
-    cold-start (no carry) and carried variants jit-compiled once."""
+    cold-start (no carry) and carried variants jit-compiled once.
+
+    Solver observability: truncated solves accumulate device-side (no
+    per-call host sync); read the running total with
+    ``infer.incomplete()``."""
 
     @jax.jit
     def infer_first(params, batch_stats, img, imu, ts):
-        return model.apply(
+        out, inter = model.apply(
             {"params": params, "batch_stats": batch_stats},
             img, imu, ts, train=False,
             rngs={"gumbel": jax.random.PRNGKey(0)},
+            mutable=["intermediates"],
         )
+        return out, _sum_sown(inter, "incomplete")
 
     @jax.jit
     def infer_carry(params, batch_stats, img, imu, ts, hc):
-        return model.apply(
+        out, inter = model.apply(
             {"params": params, "batch_stats": batch_stats},
             img, imu, ts, hc=hc, train=False,
             rngs={"gumbel": jax.random.PRNGKey(0)},
+            mutable=["intermediates"],
         )
+        return out, _sum_sown(inter, "incomplete")
 
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
     def infer(img, imu, ts, carry=None):
         if carry is None:
-            return infer_first(params, batch_stats, img, imu, ts)
-        return infer_carry(params, batch_stats, img, imu, ts, carry)
+            out, inc = infer_first(params, batch_stats, img, imu, ts)
+        else:
+            out, inc = infer_carry(params, batch_stats, img, imu, ts, carry)
+        infer._incomplete = infer._incomplete + inc   # lazy device-side sum
+        return out
 
+    infer._incomplete = jnp.zeros((), jnp.int32)
+    infer.incomplete = lambda: int(infer._incomplete)
     return infer

@@ -105,6 +105,93 @@ class TorchDeepVIO(tnn.Module):
         return self.Pose_net(fv, fi, ts)
 
 
+class TorchPoseODERNNAdaptive(TorchPoseODERNN):
+    """Reference PoseODERNN with the actual ADAPTIVE dopri5 evolution
+    (torchode semantics via tests/torch_ref.py), including the per-lane
+    warm-started controller dt our core carries across frames."""
+
+    RTOL, ATOL, DT0, MAX_STEPS = 1e-3, 1e-6, 1e-4, 64
+
+    def forward(self, fv, fi, ts):
+        from torch_ref import odeint_dopri5
+
+        fused = self.fuse(fv, fi)
+        Bc, steps, _ = fused.shape
+        h = torch.zeros(L, Bc, FLEN)
+        ts = ts - ts[:, :1]
+        dt = torch.full((L, Bc), self.DT0)
+        outs = []
+        for i in range(steps):
+            evolved = torch.zeros_like(h)
+            for l in range(L):
+                for b in range(Bc):
+                    y, dt_n, _, _ = odeint_dopri5(
+                        lambda t, y: self.ode_func(y),
+                        h[l, b], float(ts[b, i]), float(ts[b, i + 1]),
+                        rtol=self.RTOL, atol=self.ATOL,
+                        dt0=float(dt[l, b]), max_steps=self.MAX_STEPS,
+                    )
+                    evolved[l, b] = y
+                    dt[l, b] = dt_n
+            out_i, h = self.rnn(fused[:, i : i + 1], evolved)
+            outs.append(out_i)
+        out = torch.cat(outs, 1)
+        return self.regressor(out), h
+
+
+def test_full_model_parity_adaptive_dopri5():
+    """End-to-end parity on the REAL solver configuration: adaptive dopri5
+    with warm-started per-lane step sizes, torch reference implementation
+    vs our while-loop core through the full converter path."""
+    torch.manual_seed(3)
+    t_model = TorchDeepVIO()
+    t_model.Pose_net = TorchPoseODERNNAdaptive()
+    with torch.no_grad():
+        t_model.train()
+        t_model.Image_net(torch.randn(6, 6, H, W))
+        t_model.Inertial_net(torch.randn(3, 10 * (S - 1) + 1, 6))
+        t_model.eval()
+
+    rng = np.random.default_rng(3)
+    img = rng.random((B, S, H, W, 3), np.float32).astype(np.float32) - 0.5
+    imu = rng.standard_normal((B, 10 * (S - 1) + 1, 6)).astype(np.float32)
+    ts = np.cumsum(rng.random((B, S)).astype(np.float32) * 0.1 + 0.05, 1)
+
+    pairs = np.concatenate([img[:, :-1], img[:, 1:]], -1)
+    pairs_t = torch.from_numpy(
+        pairs.reshape(-1, H, W, 6).transpose(0, 3, 1, 2).copy()
+    )
+    with torch.no_grad():
+        t_poses, t_h = t_model(pairs_t, torch.from_numpy(imu),
+                               torch.from_numpy(ts))
+
+    variables = convert.convert_deepvio(
+        sd_numpy(t_model), "ode-rnn", rnn_num_layers=L,
+        conv_out_hw=(H // 64, W // 64),
+    )
+    A = TorchPoseODERNNAdaptive
+    cfg = Config(
+        model=ModelConfig(
+            model_type="ode-rnn", img_w=W, img_h=H, seq_len=S,
+            v_f_len=VF, i_f_len=IF, ode_hidden_dim=ODE_HID,
+            ode_fn_num_layers=2, ode_activation_fn="tanh",
+            ode_rnn_type="rnn", rnn_num_layers=L, fuse_method="soft",
+            compute_dtype="float32",
+        ),
+        solver=SolverConfig(method="dopri5", rtol=A.RTOL, atol=A.ATOL,
+                            dt0=A.DT0, max_steps=A.MAX_STEPS),
+        data=DataConfig(seq_len=S),
+    )
+    model = create_model(cfg)
+    j_poses, j_h = model.apply(
+        variables, jnp.asarray(img), jnp.asarray(imu), jnp.asarray(ts),
+        train=False, rngs={"gumbel": jax.random.PRNGKey(0)},
+    )
+
+    np.testing.assert_allclose(np.asarray(j_poses), t_poses.numpy(), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(j_h), t_h.numpy(), atol=2e-3)
+
+
 def test_full_model_parity():
     torch.manual_seed(0)
     t_model = TorchDeepVIO()

@@ -27,7 +27,7 @@ class TestFusedOdeSolve:
         params, y0, t0, t1 = make_problem()
         kw = dict(rtol=1e-3, atol=1e-6, dt0=1e-2, max_steps=64)
 
-        y_pl, dt_pl, acc_pl, rej_pl = fused_ode_solve(
+        y_pl, dt_pl, acc_pl, rej_pl, inc_pl = fused_ode_solve(
             params, y0, t0, t1, activation="tanh", interpret=True, **kw
         )
 
@@ -43,11 +43,13 @@ class TestFusedOdeSolve:
                                       np.asarray(stats.accepted))
         np.testing.assert_array_equal(np.asarray(rej_pl),
                                       np.asarray(stats.rejected))
+        np.testing.assert_array_equal(np.asarray(inc_pl),
+                                      np.asarray(stats.incomplete))
 
     def test_zero_interval_rows(self):
         params, y0, t0, _ = make_problem()
         t1 = t0  # nothing to do
-        y_pl, dt_fin, acc, rej = fused_ode_solve(
+        y_pl, dt_fin, acc, rej, inc = fused_ode_solve(
             params, y0, t0, t1, rtol=1e-3, atol=1e-6, dt0=1e-2,
             max_steps=16, interpret=True,
         )
@@ -58,7 +60,7 @@ class TestFusedOdeSolve:
         """Row counts that are not multiples of 8 pad internally and the
         padding never leaks into results."""
         params, y0, t0, t1 = make_problem(N=3)
-        y_pl, dt_fin, acc, rej = fused_ode_solve(
+        y_pl, dt_fin, acc, rej, inc = fused_ode_solve(
             params, y0, t0, t1, rtol=1e-3, atol=1e-6, dt0=1e-2,
             max_steps=64, interpret=True,
         )
@@ -67,7 +69,7 @@ class TestFusedOdeSolve:
 
     def test_softplus_activation(self):
         params, y0, t0, t1 = make_problem(seed=1)
-        y_pl, _, _, _ = fused_ode_solve(
+        y_pl, _, _, _, _ = fused_ode_solve(
             params, y0, t0, t1, activation="softplus",
             rtol=1e-3, atol=1e-6, dt0=1e-2, max_steps=64, interpret=True,
         )

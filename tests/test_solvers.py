@@ -106,6 +106,27 @@ class TestModes:
         _, stats = solve_ivp(f_decay, jnp.ones(()), 0.0, 10.0, opts)
         assert int(stats.total) == 3
 
+    @pytest.mark.parametrize("mode", ["while", "bounded"])
+    def test_starved_budget_is_surfaced(self, mode):
+        """Exhausting max_steps before t1 must NOT be silent: the solve
+        returns the partial state AND stats.incomplete == 1 (torchode
+        surfaces solver failure; VERDICT round 1 weak #2)."""
+        opts = SolverOptions(max_steps=3, unroll_mode=mode, dt0=1e-6,
+                             factor_max=1.5)
+        _, stats = solve_ivp(f_decay, jnp.ones(()), 0.0, 10.0, opts)
+        assert int(stats.incomplete) == 1
+
+        ok = SolverOptions(max_steps=256, unroll_mode=mode, dt0=0.01)
+        _, stats_ok = solve_ivp(f_decay, jnp.ones(()), 0.0, 1.0, ok)
+        assert int(stats_ok.incomplete) == 0
+
+    def test_solve_at_counts_incomplete_segments(self):
+        opts = SolverOptions(max_steps=2, unroll_mode="while", dt0=1e-6,
+                             factor_max=1.2)
+        ts = jnp.array([0.0, 5.0, 10.0])
+        _, stats = solve_at(f_decay, jnp.ones(()), ts, opts)
+        assert int(stats.incomplete) == 2
+
 
 class TestBatching:
     def test_vmap_per_sample_intervals(self):

@@ -180,6 +180,27 @@ class TestTrainStep:
         )
         assert changed
 
+    def test_starved_solver_budget_visible_in_metrics(self):
+        """A starved max_steps_train must surface as a nonzero
+        solver_incomplete metric instead of silently truncating."""
+        cfg = tiny_config()
+        starved = Config(
+            model=cfg.model,
+            solver=SolverConfig(max_steps=64, max_steps_train=2, dt0=1e-7,
+                                factor_max=1.1),
+            train=cfg.train, data=cfg.data,
+        )
+        model, tx, state = setup(starved)
+        step = make_train_step(model, tx, starved)
+        _, metrics = step(state, *tiny_batch())
+        assert int(metrics["solver_incomplete"]) > 0
+
+        cfg_ok = tiny_config()
+        model, tx, state = setup(cfg_ok)
+        step = make_train_step(model, tx, cfg_ok)
+        _, metrics = step(state, *tiny_batch())
+        assert int(metrics["solver_incomplete"]) == 0
+
     def test_batch_stats_update_in_train(self):
         cfg = tiny_config()
         model, tx, state = setup(cfg)
