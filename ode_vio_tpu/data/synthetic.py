@@ -19,9 +19,13 @@ import numpy as np
 from ode_vio_tpu.utils import geometry as geo
 
 
-def make_trajectory(n_frames: int, rng: np.random.Generator) -> np.ndarray:
+def make_trajectory(
+    n_frames: int, rng: np.random.Generator, speed_scale: float = 1.0
+) -> np.ndarray:
     """Absolute 4x4 poses along a smooth arc with gentle yaw and speed
-    variation (shape (N, 4, 4))."""
+    variation (shape (N, 4, 4)). ``speed_scale`` stretches the per-frame
+    travel (~0.1 m at 1.0) so short fixtures can still cover the official
+    100 m metric segments."""
     poses = [np.eye(4)]
     yaw_rate = 0.02 * np.sin(np.linspace(0, 3.0, n_frames - 1))
     speed = 1.0 + 0.3 * np.sin(np.linspace(0, 5.0, n_frames - 1))
@@ -29,7 +33,8 @@ def make_trajectory(n_frames: int, rng: np.random.Generator) -> np.ndarray:
         step = np.eye(4)
         step[:3, :3] = geo.euler_to_matrix([0.001 * rng.normal(),
                                             yaw_rate[k], 0.0])
-        step[:3, 3] = [0.02 * rng.normal(), 0.01 * rng.normal(), speed[k] * 0.1]
+        step[:3, 3] = [0.02 * rng.normal(), 0.01 * rng.normal(),
+                       speed[k] * 0.1 * speed_scale]
         poses.append(poses[-1] @ step)
     return np.asarray(poses)
 
@@ -54,6 +59,7 @@ def make_kitti_tree(
     dt: float = 0.1,
     jitter: float = 0.0,
     seed: int = 0,
+    speed_scale: float = 1.0,
 ) -> Path:
     """Write a complete miniature KITTI odometry tree under ``root``."""
     from PIL import Image
@@ -67,7 +73,7 @@ def make_kitti_tree(
         seq_dir = root / "sequences" / s
         (seq_dir / "image_2").mkdir(parents=True, exist_ok=True)
 
-        poses = make_trajectory(n_frames, rng)
+        poses = make_trajectory(n_frames, rng, speed_scale=speed_scale)
         geo.save_trajectory(poses, root / "poses" / f"{s}.txt")
 
         ts = np.arange(n_frames) * dt

@@ -76,11 +76,13 @@ class TorchPoseODERNN(tnn.Module):
             h = h + dt * self.ode_func(h)
         return h
 
-    def forward(self, fv, fi, ts):
+    def forward(self, fv, fi, ts, hc=None):
         fused = self.fuse(fv, fi)
         Bc, steps, _ = fused.shape
-        h = torch.zeros(L, Bc, FLEN)
-        ts = ts - ts[:, :1]
+        # streaming parity: carry-in state; ts re-based only on cold start
+        # (PoseODERNN.py:97-100)
+        h = torch.zeros(L, Bc, FLEN) if hc is None else hc
+        ts = ts - ts[:, :1] if hc is None else ts
         outs = []
         for i in range(steps):
             evolved = torch.stack(
@@ -99,10 +101,11 @@ class TorchDeepVIO(tnn.Module):
         self.Inertial_net = TorchInertialEncoder(IF)
         self.Pose_net = TorchPoseODERNN()
 
-    def forward(self, img_pairs, imu, ts):
-        fv = self.Image_net(img_pairs).reshape(B, S - 1, VF)
+    def forward(self, img_pairs, imu, ts, hc=None):
+        Bc = imu.shape[0]
+        fv = self.Image_net(img_pairs).reshape(Bc, -1, VF)
         fi = self.Inertial_net(imu)
-        return self.Pose_net(fv, fi, ts)
+        return self.Pose_net(fv, fi, ts, hc=hc)
 
 
 class TorchPoseODERNNAdaptive(TorchPoseODERNN):
