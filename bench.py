@@ -21,10 +21,19 @@ Prints ONE JSON line to stdout.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+try:  # persistent compile cache: repeat driver runs skip the 1-2 min compile
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,8 +48,13 @@ def main() -> None:
     from ode_vio_tpu.config import flagship_config
     from ode_vio_tpu.models.deepvio import init_model
 
+    from ode_vio_tpu.models.fold import fold_batchnorm
+
     cfg = flagship_config()
     model, variables = init_model(cfg, jax.random.PRNGKey(0), batch_size=1)
+    # eval path ships with the frozen BN statistics folded into the conv
+    # weights (exact; models/fold.py) — same configuration as cli/test.py
+    eval_variables = fold_batchnorm(variables)
 
     S = cfg.model.seq_len
     rng = np.random.default_rng(0)
@@ -61,7 +75,7 @@ def main() -> None:
     @jax.jit
     def infer(img, imu, ts, carry):
         return model.apply(
-            variables, img, imu, ts, hc=carry, train=False,
+            eval_variables, img, imu, ts, hc=carry, train=False,
             rngs={"gumbel": jax.random.PRNGKey(0)},
         )
 

@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["cat", "soft", "hard"])
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--no_fold_bn", action="store_true",
+                   help="disable inference-time BatchNorm folding "
+                        "(models/fold.py; folding is exact at eval)")
     p.add_argument("--use_pallas", action="store_true",
                    help="fused Pallas adaptive-ODE kernel on the inference path")
     p.add_argument("--debug_nans", action="store_true",

@@ -48,7 +48,10 @@ def main(argv=None):
     else:
         logger.warning("no --pretrain given: evaluating random init")
 
-    infer = make_infer_fn(model, variables)
+    # BN statistics are frozen at eval: fold them into the conv weights
+    # (exact; models/fold.py) unless explicitly disabled
+    infer = make_infer_fn(model, variables,
+                          fold_bn=not getattr(args, "no_fold_bn", False))
     all_runs = []
     for run in range(cfg.run_times):
         evaluator = KittiEvaluator(

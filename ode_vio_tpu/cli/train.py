@@ -175,6 +175,13 @@ def main(argv=None):
     state = jax.device_put(state, replicated(mesh))
 
     train_step = make_train_step(model, tx, cfg)
+    # one compiled eval executable for the whole run: per-epoch weights are
+    # swapped in with set_variables (jit arguments, no re-trace), with the
+    # frozen BN statistics folded into the conv weights for the eval pass
+    infer = make_infer_fn(
+        model, {"params": state.params, "batch_stats": state.batch_stats},
+        fold_bn=True,
+    )
 
     wandb_run = None
     if cfg.wandb:
@@ -223,8 +230,8 @@ def main(argv=None):
             (cfg.model.img_h, cfg.model.img_w), cfg.data.eval_data_dropout,
             rng=np.random.default_rng(cfg.train.seed + 7919 + epoch),
         )
-        infer = make_infer_fn(
-            model, {"params": state.params, "batch_stats": state.batch_stats}
+        infer.set_variables(
+            {"params": state.params, "batch_stats": state.batch_stats}
         )
         errors = evaluator.eval(infer)
         t_rel = float(np.mean([e["t_rel"] for e in errors]))

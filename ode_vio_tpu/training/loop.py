@@ -219,10 +219,18 @@ def make_train_step(model, tx, cfg: Config) -> Callable:
     return train_step
 
 
-def make_infer_fn(model, variables) -> Callable:
+def make_infer_fn(model, variables, fold_bn: bool = False) -> Callable:
     """Build the streaming-eval callable
     ``infer(imgs, imus, ts, carry) -> (poses, carry)`` with both the
     cold-start (no carry) and carried variants jit-compiled once.
+
+    ``fold_bn=True`` bakes the frozen BatchNorm statistics into the conv
+    weights ahead of time (models/fold.py) — exact at eval, removes the
+    normalisation work from the hot path.
+
+    ``infer.set_variables(new_variables)`` swaps the weights without
+    re-jitting (params are jit arguments, not constants), so a per-epoch
+    evaluator can reuse one compiled executable for the whole run.
 
     Solver observability: truncated solves accumulate device-side (no
     per-call host sync); read the running total with
@@ -248,17 +256,29 @@ def make_infer_fn(model, variables) -> Callable:
         )
         return out, _sum_sown(inter, "incomplete")
 
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
+    held = {}
+
+    def set_variables(v):
+        if fold_bn:
+            from ode_vio_tpu.models.fold import fold_batchnorm
+
+            v = fold_batchnorm(v)
+        held["params"] = v["params"]
+        held["batch_stats"] = v.get("batch_stats", {})
+
+    set_variables(variables)
 
     def infer(img, imu, ts, carry=None):
         if carry is None:
-            out, inc = infer_first(params, batch_stats, img, imu, ts)
+            out, inc = infer_first(held["params"], held["batch_stats"],
+                                   img, imu, ts)
         else:
-            out, inc = infer_carry(params, batch_stats, img, imu, ts, carry)
+            out, inc = infer_carry(held["params"], held["batch_stats"],
+                                   img, imu, ts, carry)
         infer._incomplete = infer._incomplete + inc   # lazy device-side sum
         return out
 
     infer._incomplete = jnp.zeros((), jnp.int32)
     infer.incomplete = lambda: int(infer._incomplete)
+    infer.set_variables = set_variables
     return infer

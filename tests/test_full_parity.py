@@ -115,13 +115,15 @@ class TorchPoseODERNNAdaptive(TorchPoseODERNN):
 
     RTOL, ATOL, DT0, MAX_STEPS = 1e-3, 1e-6, 1e-4, 64
 
-    def forward(self, fv, fi, ts):
+    def forward(self, fv, fi, ts, hc=None):
         from torch_ref import odeint_dopri5
 
         fused = self.fuse(fv, fi)
         Bc, steps, _ = fused.shape
-        h = torch.zeros(L, Bc, FLEN)
-        ts = ts - ts[:, :1]
+        # streaming parity with the parent: carry-in state, re-base on cold
+        # start only (PoseODERNN.py:97-100)
+        h = torch.zeros(L, Bc, FLEN) if hc is None else hc
+        ts = ts - ts[:, :1] if hc is None else ts
         dt = torch.full((L, Bc), self.DT0)
         outs = []
         for i in range(steps):
