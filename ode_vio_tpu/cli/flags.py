@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["cat", "soft", "hard"])
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--encoder_int8", action="store_true",
+                   help="quantised int8 encoder inference (eval-only; 2x "
+                        "MXU rate on v5e, float checkpoints unchanged)")
     p.add_argument("--no_fold_bn", action="store_true",
                    help="disable inference-time BatchNorm folding "
                         "(models/fold.py; folding is exact at eval)")
@@ -188,6 +191,7 @@ def config_from_args(args) -> Config:
             rde_reduced_dim=args.rde_reduced_dim,
             compute_dtype=args.compute_dtype,
             use_pallas=args.use_pallas,
+            encoder_int8=args.encoder_int8,
         ),
         solver=SolverConfig(
             method=args.ode_solver, rtol=args.ode_rtol, atol=args.ode_atol,

@@ -111,6 +111,12 @@ class ModelConfig:
     # the 7x7 input conv at 320 pairs), so this stays off by default;
     # kept as an option for other XLA versions/topologies.
     encoder_s2d: bool = False
+    # Quantised int8 encoder inference (eval-only): per-output-channel
+    # symmetric int8 weights + per-tensor dynamic int8 activations, int32
+    # MXU accumulation. The v5e MXU runs int8 at 2x the bf16 rate and the
+    # int8 activations halve inter-layer HBM traffic; parameters stay
+    # float (checkpoints unchanged), training always uses the float path.
+    encoder_int8: bool = False
     # Inference-path kernel fusion: run each timestep's entire adaptive ODE
     # integration as one Pallas kernel with the MLP weights resident in
     # VMEM (ops/pallas_kernels.py). Training always uses the
