@@ -72,27 +72,47 @@ def main() -> None:
         (cfg.model.rnn_num_layers, BATCH, cfg.model.f_len), jnp.float32
     )
 
-    @jax.jit
-    def infer(img, imu, ts, carry):
-        return model.apply(
-            eval_variables, img, imu, ts, hc=carry, train=False,
-            rngs={"gumbel": jax.random.PRNGKey(0)},
-        )
+    # Streaming eval exactly as KittiEvaluator runs it: W consecutive
+    # windows with the hidden state carried across them, scanned inside
+    # ONE jit call so the measurement is pure device throughput (per-call
+    # host dispatch — large under a tunneled TPU — would otherwise bias
+    # the number low). Timing is the W2-W1 slope, which also cancels the
+    # single dispatch of the call itself.
+    def make_stream(W):
+        @jax.jit
+        def run(img, imu, ts, carry):
+            def body(c, w):
+                poses, c2 = model.apply(
+                    eval_variables, img + w * 1e-3, imu, ts + w * 0.1,
+                    hc=c, train=False,
+                    rngs={"gumbel": jax.random.PRNGKey(0)},
+                )
+                return c2, jnp.sum(poses)
+            c, sums = jax.lax.scan(
+                body, carry, jnp.arange(W, dtype=jnp.float32)
+            )
+            return jnp.sum(sums)
+        return run
 
-    # compile + warmup (streaming: carry feeds back)
-    carry = carry0
+    W1, W2 = 2, 2 + ITERS
+    run1, run2 = make_stream(W1), make_stream(W2)
     t_compile = time.perf_counter()
-    for _ in range(WARMUP):
-        poses, carry = infer(img, imu, ts, carry)
-    jax.block_until_ready(poses)
+    run1(img, imu, ts, carry0).block_until_ready()
+    run2(img, imu, ts, carry0).block_until_ready()
     compile_s = time.perf_counter() - t_compile
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        poses, carry = infer(img, imu, ts, carry)
-    jax.block_until_ready(poses)
-    elapsed = time.perf_counter() - t0
-
+    samples = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        run1(img + 0.1 * rep, imu, ts, carry0).block_until_ready()
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run2(img + 0.2 * rep, imu, ts, carry0).block_until_ready()
+        tb = time.perf_counter() - t0
+        samples.append((tb - ta) / (W2 - W1))
+    samples.sort()
+    per_window = samples[1]
+    elapsed = per_window * ITERS
     frames = BATCH * (S - 1) * ITERS
     fps = frames / elapsed
 
