@@ -159,11 +159,16 @@ class EvalPartition:
     def __len__(self) -> int:
         return len(self.windows)
 
-    def __getitem__(self, i: int) -> EvalWindow:
-        from ode_vio_tpu.data.native_loader import decode_batch
+    def paths(self, i: int) -> List:
+        """Image paths of window ``i`` (for async prefetch submission)."""
+        return self.windows[i]["paths"]
 
+    def assemble(self, i: int, imgs: np.ndarray) -> EvalWindow:
+        """Build the padded EvalWindow from already-decoded [0,1] images of
+        ``paths(i)`` — the decode can run ahead on the native prefetcher
+        while the device computes the previous window."""
         w = self.windows[i]
-        imgs = decode_batch(w["paths"], self.img_hw) - 0.5
+        imgs = imgs - 0.5
         if w["pad"]:
             imgs = np.concatenate(
                 [imgs, np.repeat(imgs[-1:], w["pad"], axis=0)], 0
@@ -175,6 +180,11 @@ class EvalPartition:
             gts=w["gts"],
             valid=self.seq_len - 1 - w["pad"],
         )
+
+    def __getitem__(self, i: int) -> EvalWindow:
+        from ode_vio_tpu.data.native_loader import decode_batch
+
+        return self.assemble(i, decode_batch(self.paths(i), self.img_hw))
 
 
 # ---------------------------------------------------------------------------
@@ -206,14 +216,27 @@ class KittiEvaluator:
         self.results: List[dict] = []
 
     def eval_sequence(self, infer_fn: Callable, part: EvalPartition) -> dict:
-        carry = None
-        chunks = []
-        for i in range(len(part)):
-            w = part[i]
-            poses, carry = infer_fn(
-                w.imgs[None], w.imus[None], w.ts[None], carry
-            )
-            chunks.append(np.asarray(poses)[0, : w.valid])
+        """Streaming single-sequence eval with double-buffered decode:
+        window i+1 decodes on the native prefetcher's C++ threads while
+        the device runs window i (the host blocks on ``np.asarray``, the
+        decode proceeds concurrently)."""
+        from ode_vio_tpu.data.native_loader import Prefetcher
+
+        pf = Prefetcher(part.img_hw)
+        try:
+            carry = None
+            chunks = []
+            pf.submit(0, part.paths(0))
+            for i in range(len(part)):
+                if i + 1 < len(part):
+                    pf.submit(i + 1, part.paths(i + 1))
+                w = part.assemble(i, pf.get(i))
+                poses, carry = infer_fn(
+                    w.imgs[None], w.imus[None], w.ts[None], carry
+                )
+                chunks.append(np.asarray(poses)[0, : w.valid])
+        finally:
+            pf.close()
         pose_est = np.concatenate(chunks, 0)
         pose_gt = np.asarray(part.seq.rel_poses[: len(pose_est)], np.float32)
         return kitti_eval(pose_est, pose_gt)
@@ -224,20 +247,43 @@ class KittiEvaluator:
         time batch-1 loop (KITTI_eval.py:166-170): a single compiled
         executable serves every window step of every sequence. Exhausted
         lanes replay their last window; their outputs are discarded."""
+        from ode_vio_tpu.data.native_loader import Prefetcher
+
         parts = self.partitions
         n_windows = max(len(p) for p in parts)
         carry = None
         chunks: List[List[np.ndarray]] = [[] for _ in parts]
-        for w in range(n_windows):
-            ws = [p[min(w, len(p) - 1)] for p in parts]
-            imgs = np.stack([x.imgs for x in ws], 0)
-            imus = np.stack([x.imus for x in ws], 0)
-            ts = np.stack([x.ts for x in ws], 0)
-            poses, carry = infer_fn(imgs, imus, ts, carry)
-            poses = np.asarray(poses)
-            for lane, p in enumerate(parts):
-                if w < len(p):
-                    chunks[lane].append(poses[lane, : ws[lane].valid])
+        pf = Prefetcher(parts[0].img_hw)
+
+        def submit(w: int) -> None:
+            # one ticket per step: all lanes' window paths concatenated
+            paths = []
+            for p in parts:
+                paths.extend(p.paths(min(w, len(p) - 1)))
+            pf.submit(w, paths)
+
+        try:
+            submit(0)
+            for w in range(n_windows):
+                if w + 1 < n_windows:
+                    submit(w + 1)
+                decoded = pf.get(w)
+                ws, off = [], 0
+                for p in parts:
+                    i = min(w, len(p) - 1)
+                    n = len(p.paths(i))
+                    ws.append(p.assemble(i, decoded[off : off + n]))
+                    off += n
+                imgs = np.stack([x.imgs for x in ws], 0)
+                imus = np.stack([x.imus for x in ws], 0)
+                ts = np.stack([x.ts for x in ws], 0)
+                poses, carry = infer_fn(imgs, imus, ts, carry)
+                poses = np.asarray(poses)
+                for lane, p in enumerate(parts):
+                    if w < len(p):
+                        chunks[lane].append(poses[lane, : ws[lane].valid])
+        finally:
+            pf.close()
         results = []
         for lane, p in enumerate(parts):
             pose_est = np.concatenate(chunks[lane], 0)

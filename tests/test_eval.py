@@ -121,6 +121,24 @@ class TestEvaluator:
         est, _ = geo.read_pose_file(tmp_path / "05_pred.txt")
         assert est.shape[0] == 34  # identity path has N poses
 
+    def test_prefetched_windows_match_direct_decode(self, kitti_root):
+        """eval_sequence pipelines decode through the native Prefetcher
+        (window i+1 decodes while the device runs window i); the windows
+        the model sees must be bit-identical to direct __getitem__."""
+        ev = KittiEvaluator(kitti_root, val_seqs=("05",), seq_len=11,
+                            img_hw=(32, 64))
+        part = ev.partitions[0]
+        seen = []
+
+        def record(imgs, imus, ts, carry=None):
+            seen.append(np.asarray(imgs)[0])
+            return np.zeros((1, 10, 6), np.float32), None
+
+        ev.eval_sequence(record, part)
+        assert len(seen) == len(part)
+        for i in range(len(part)):
+            np.testing.assert_array_equal(seen[i], part[i].imgs)
+
     def test_summarize_runs(self):
         runs = [
             [{"t_rel": 1.0, "r_rel": 2.0, "t_rmse": 0.1, "r_rmse": 0.2}],
