@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ode_rtol", type=float, default=1e-2)
     p.add_argument("--ode_atol", type=float, default=1e-6)
     p.add_argument("--ode_max_steps", type=int, default=64)
+    p.add_argument("--ode_exit_chunk", type=int, default=4,
+                   help="early-exit chunk of the batched training solve: "
+                        "skip whole chunks of the masked scan once every "
+                        "lane converged (0 disables the chunked skip)")
     p.add_argument("--ode_fixed_step", action="store_true",
                    help="fixed-step integration (update_method parity)")
 
@@ -197,6 +201,7 @@ def config_from_args(args) -> Config:
             method=args.ode_solver, rtol=args.ode_rtol, atol=args.ode_atol,
             max_steps=args.ode_max_steps, adaptive=not args.ode_fixed_step,
             unroll_mode="adjoint" if args.adjoint else "bounded",
+            exit_chunk=args.ode_exit_chunk,
         ),
         cde_solver_cfg=SolverConfig(
             method=args.cde_solver, rtol=1e-4, atol=1e-6,

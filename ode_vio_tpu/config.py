@@ -43,6 +43,12 @@ class SolverConfig:
     safety: float = 0.9          # step controller safety factor
     factor_min: float = 0.2      # max step shrink per step (torchdiffeq dfactor)
     factor_max: float = 10.0     # max step growth per step (torchdiffeq ifactor)
+    # Early-exit chunk for the batched bounded (training) solve: the masked
+    # scan is grouped into chunks of this many iterations and a whole chunk
+    # is skipped (scalar lax.cond) once every lane of the batch converged.
+    # Keeps the safety of a generous max_steps_train while paying only the
+    # actual step count most of the time.
+    exit_chunk: int = 4
 
 
 @dataclass(frozen=True)

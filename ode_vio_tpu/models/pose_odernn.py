@@ -38,7 +38,7 @@ from ode_vio_tpu.models.fusion import FusionModule
 from ode_vio_tpu.ops.mlp import apply_mlp, init_mlp, ode_func_sizes
 from ode_vio_tpu.ops.rnn_cells import init_stack, step_stack
 from ode_vio_tpu.ops.solvers import SolverOptions
-from ode_vio_tpu.ops.solvers.odeint import solve_ivp_dt
+from ode_vio_tpu.ops.solvers.odeint import solve_ivp_batched_dt, solve_ivp_dt
 
 
 class PoseODERNN(nn.Module):
@@ -123,6 +123,17 @@ class PoseODERNN(nn.Module):
                     factor_max=opts.factor_max,
                 )
                 return y1, dt_fin, acc.sum(), rej.sum(), inc.sum()
+        elif opts.unroll_mode == "bounded" and opts.adaptive:
+            # training: batched bounded solve with chunked early exit —
+            # once every (layer, sample) lane converged, whole chunks of
+            # the masked scan are skipped by a scalar-predicate lax.cond
+            # instead of running the full max_steps_train budget
+            def evolve(y, t0, t1, dt0):
+                y1, dt_fin, stats = solve_ivp_batched_dt(
+                    ode_fn, y, t0, t1, opts, dt0
+                )
+                return (y1, dt_fin, stats.accepted.sum(),
+                        stats.rejected.sum(), stats.incomplete.sum())
         else:
             solve = jax.vmap(
                 lambda y, a, b, d: solve_ivp_dt(ode_fn, y, a, b, opts, d)

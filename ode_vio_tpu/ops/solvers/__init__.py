@@ -14,5 +14,6 @@ from ode_vio_tpu.ops.solvers.odeint import (  # noqa: F401
     solve_at,
     solve_ivp,
     solve_ivp_adjoint,
+    solve_ivp_batched_dt,
     solve_ivp_dt,
 )

@@ -155,6 +155,100 @@ class TestBatching:
             np.testing.assert_allclose(np.asarray(ys_v[k]), np.asarray(yk), rtol=1e-6)
 
 
+class TestBatchedEarlyExit:
+    """solve_ivp_batched_dt: the scan-outside-vmap bounded solver whose
+    chunked lax.cond skips whole chunks once every lane converged. Must be
+    numerically identical to jax.vmap(solve_ivp_dt) in values, stats and
+    gradients (skipped chunks are identity on converged state)."""
+
+    def _solve_pair(self, opts, y0s, t0s, t1s, dt0s):
+        from ode_vio_tpu.ops.solvers.odeint import (
+            solve_ivp_batched_dt, solve_ivp_dt,
+        )
+
+        vmapped = jax.jit(jax.vmap(
+            lambda y, a, b, d: solve_ivp_dt(f_decay, y, a, b, opts, d)
+        ))
+        batched = jax.jit(
+            lambda y, a, b, d: solve_ivp_batched_dt(f_decay, y, a, b, opts, d)
+        )
+        return vmapped(y0s, t0s, t1s, dt0s), batched(y0s, t0s, t1s, dt0s)
+
+    @pytest.mark.parametrize("exit_chunk", [1, 3, 4, 0])
+    def test_matches_vmapped_bounded(self, exit_chunk):
+        opts = SolverOptions(rtol=1e-4, atol=1e-7, max_steps=32, dt0=0.01,
+                             unroll_mode="bounded", exit_chunk=exit_chunk)
+        y0s = jnp.array([[1.0, 2.0], [0.5, -1.0], [3.0, 0.1], [-2.0, 1.5]])
+        t0s = jnp.zeros(4)
+        t1s = jnp.array([0.3, 0.9, 1.7, 0.05])
+        dt0s = jnp.full(4, 0.01)
+        (y_v, dt_v, s_v), (y_b, dt_b, s_b) = self._solve_pair(
+            opts, y0s, t0s, t1s, dt0s
+        )
+        np.testing.assert_array_equal(np.asarray(y_v), np.asarray(y_b))
+        np.testing.assert_array_equal(np.asarray(dt_v), np.asarray(dt_b))
+        np.testing.assert_array_equal(np.asarray(s_v.accepted),
+                                      np.asarray(s_b.accepted))
+        np.testing.assert_array_equal(np.asarray(s_v.rejected),
+                                      np.asarray(s_b.rejected))
+        np.testing.assert_array_equal(np.asarray(s_v.incomplete),
+                                      np.asarray(s_b.incomplete))
+
+    def test_while_mode_any_active(self):
+        opts = SolverOptions(rtol=1e-4, atol=1e-7, max_steps=128, dt0=0.01,
+                             unroll_mode="while")
+        from ode_vio_tpu.ops.solvers.odeint import solve_ivp_batched_dt
+
+        y0s = jnp.array([[1.0], [2.0], [-1.0]])
+        t1s = jnp.array([0.3, 0.9, 1.7])
+        y_b, _, _ = jax.jit(
+            lambda y, a, b, d: solve_ivp_batched_dt(f_decay, y, a, b, opts, d)
+        )(y0s, jnp.zeros(3), t1s, jnp.full(3, 0.01))
+        expected = np.asarray(y0s) * np.exp(DECAY * np.asarray(t1s))[:, None]
+        np.testing.assert_allclose(np.asarray(y_b), expected, rtol=1e-4)
+
+    def test_gradients_match_vmapped(self):
+        from ode_vio_tpu.ops.solvers.odeint import (
+            solve_ivp_batched_dt, solve_ivp_dt,
+        )
+
+        opts = SolverOptions(rtol=1e-4, atol=1e-7, max_steps=32, dt0=0.01,
+                             unroll_mode="bounded", exit_chunk=4)
+        y0s = jnp.array([[1.0, 2.0], [0.5, -1.0], [3.0, 0.1]])
+        t0s = jnp.zeros(3)
+        t1s = jnp.array([0.3, 1.2, 0.7])
+        dt0s = jnp.full(3, 0.01)
+
+        def loss_v(y):
+            ys, _, _ = jax.vmap(
+                lambda yy, a, b, d: solve_ivp_dt(f_decay, yy, a, b, opts, d)
+            )(y, t0s, t1s, dt0s)
+            return jnp.sum(ys ** 2)
+
+        def loss_b(y):
+            ys, _, _ = solve_ivp_batched_dt(f_decay, y, t0s, t1s, opts, dt0s)
+            return jnp.sum(ys ** 2)
+
+        g_v = jax.jit(jax.grad(loss_v))(y0s)
+        g_b = jax.jit(jax.grad(loss_b))(y0s)
+        np.testing.assert_allclose(np.asarray(g_v), np.asarray(g_b),
+                                   rtol=1e-6, atol=1e-9)
+
+    def test_starved_budget_surfaced_batched(self):
+        opts = SolverOptions(rtol=1e-10, atol=1e-12, max_steps=4, dt0=1e-3,
+                             unroll_mode="bounded", exit_chunk=2)
+        from ode_vio_tpu.ops.solvers.odeint import solve_ivp_batched_dt
+
+        y0s = jnp.ones((2, 2))
+        _, _, stats = jax.jit(
+            lambda y: solve_ivp_batched_dt(
+                f_decay, y, jnp.zeros(2), jnp.full(2, 5.0), opts,
+                jnp.full(2, 1e-3),
+            )
+        )(y0s)
+        assert np.all(np.asarray(stats.incomplete) == 1)
+
+
 class TestGradients:
     def test_grad_matches_finite_difference(self):
         opts = SolverOptions(rtol=1e-6, atol=1e-9, max_steps=256, dt0=0.01)
