@@ -1,0 +1,134 @@
+"""Online serving entry point: ``python -m ode_vio_tpu.cli.serve``.
+
+Streams one sequence through the model as a live odometry service would:
+windows arrive in order, the hidden state carries across them, and each
+window's wall-clock latency (decode-wait + device step + readback) is
+recorded. Reports p50/p90/p99 window latency and steady-state throughput
+as one JSON line on stdout, and writes the accumulated KITTI-format
+trajectory.
+
+The reference has no serving surface (SURVEY.md section 0: "no serving
+path"); this is the deployment-shaped complement of the batch tester
+(cli/test.py ≙ /root/reference/scripts/test_model.py). The pipeline is
+the production configuration: folded BatchNorm (models/fold.py), bf16
+encoders, warm-started adaptive solver, native C++ decode prefetched one
+window ahead (data/native_loader.py), single jit-compiled executable.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import jax
+
+from ode_vio_tpu.cli.flags import build_parser, config_from_args
+from ode_vio_tpu.data.evaluation import EvalPartition, kitti_eval
+from ode_vio_tpu.data.native_loader import Prefetcher
+from ode_vio_tpu.models.deepvio import init_model
+from ode_vio_tpu.training.loop import make_infer_fn
+from ode_vio_tpu.utils import geometry as geo
+from ode_vio_tpu.utils.logging_utils import (
+    setup_experiment_directories,
+    setup_logger,
+)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    dirs = setup_experiment_directories(
+        cfg.save_dir, cfg.experiment_name + "_serve"
+    )
+    logger = setup_logger(f"serve_{cfg.experiment_name}", dirs["logs"])
+    seq = cfg.data.val_seq[0]
+
+    model, variables = init_model(cfg, jax.random.PRNGKey(cfg.train.seed))
+    if cfg.pretrain:
+        from ode_vio_tpu.training.checkpoint import CheckpointManager
+        from ode_vio_tpu.training.loop import (
+            create_train_state, make_optimizer,
+        )
+
+        ckpt = CheckpointManager(cfg.pretrain)
+        latest = ckpt.latest_epoch()
+        name = ckpt.epoch_name(latest) if latest is not None else "best"
+        tx = make_optimizer(cfg)
+        target = jax.device_get(
+            create_train_state(cfg, variables, tx,
+                               jax.random.PRNGKey(cfg.train.seed + 1))
+        )
+        state = ckpt.restore(name, target)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        logger.info("loaded checkpoint %s/%s", cfg.pretrain, name)
+    else:
+        logger.warning("no --pretrain given: serving random init")
+
+    infer = make_infer_fn(model, variables,
+                          fold_bn=not getattr(args, "no_fold_bn", False))
+
+    part = EvalPartition(
+        cfg.data.data_dir, seq, cfg.data.seq_len,
+        (cfg.model.img_h, cfg.model.img_w),
+    )
+
+    # warm-up: compile both the cold-start and carried executables on a
+    # synthetic window so the first served frame pays no compile latency
+    w0 = part[0]
+    _, carry = infer(w0.imgs[None], w0.imus[None], w0.ts[None], None)
+    jax.block_until_ready(
+        infer(w0.imgs[None], w0.imus[None], w0.ts[None], carry)[0]
+    )
+    logger.info("compiled; serving sequence %s (%d windows)", seq, len(part))
+
+    pf = Prefetcher(part.img_hw)
+    latencies = []
+    chunks = []
+    carry = None
+    t_start = time.perf_counter()
+    try:
+        pf.submit(0, part.paths(0))
+        for i in range(len(part)):
+            t0 = time.perf_counter()
+            if i + 1 < len(part):
+                pf.submit(i + 1, part.paths(i + 1))
+            w = part.assemble(i, pf.get(i))
+            poses, carry = infer(w.imgs[None], w.imus[None], w.ts[None], carry)
+            chunks.append(np.asarray(poses)[0, : w.valid])  # sync point
+            latencies.append(time.perf_counter() - t0)
+    finally:
+        pf.close()
+    wall = time.perf_counter() - t_start
+
+    pose_est = np.concatenate(chunks, 0)
+    est_mats = geo.accumulate_path(pose_est)
+    out_path = dirs["poses"] / f"{seq}_pred.txt"
+    geo.save_trajectory(est_mats, out_path)
+
+    gt = np.asarray(part.seq.rel_poses[: len(pose_est)], np.float32)
+    metrics = kitti_eval(pose_est, gt)
+
+    lat_ms = np.sort(np.asarray(latencies)) * 1e3
+    pct = lambda p: float(np.percentile(lat_ms, p))
+    frames = int(pose_est.shape[0])
+    report = {
+        "seq": seq,
+        "windows": len(part),
+        "frames": frames,
+        "latency_ms_p50": round(pct(50), 2),
+        "latency_ms_p90": round(pct(90), 2),
+        "latency_ms_p99": round(pct(99), 2),
+        "frames_per_sec": round(frames / wall, 1),
+        "t_rmse": round(float(metrics["t_rmse"]), 6),
+        "trajectory": str(out_path),
+    }
+    if infer.incomplete() > 0:
+        report["solver_incomplete"] = int(infer.incomplete())
+    logger.info("serve report: %s", report)
+    print(json.dumps(report))
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from ode_vio_tpu.data.synthetic import make_kitti_tree
+from ode_vio_tpu.utils import geometry as geo
 
 
 @pytest.fixture(scope="module")
@@ -60,6 +61,21 @@ def test_train_then_test_cli(kitti_root, tmp_path):
                "--pred", f"ours={poses / '05_pred.txt'}",
                "--out", str(out)])
     assert out.exists()
+
+    # serve CLI: online streaming with latency report on the same ckpt
+    from ode_vio_tpu.cli.serve import main as serve_main
+
+    report = serve_main(
+        ["--data_dir", str(kitti_root), "--save_dir", str(save),
+         "--experiment_name", "e2e", "--pretrain", str(ckpt_dir),
+         *TINY_FLAGS]
+    )
+    assert report["windows"] > 0 and report["latency_ms_p50"] > 0
+    assert (save / "e2e_serve" / "poses" / "05_pred.txt").exists()
+    served, _ = geo.read_pose_file(
+        save / "e2e_serve" / "poses" / "05_pred.txt"
+    )
+    assert served.shape[0] == report["frames"] + 1
 
 
 def test_resume_from_checkpoint(kitti_root, tmp_path):
