@@ -236,6 +236,26 @@ class TestDataParallel:
         b = np.asarray(s2.params["pose_net"]["regressor"]["fc1"]["kernel"])
         np.testing.assert_allclose(a, b, atol=1e-5)
 
+    def test_sharded_eval_matches_single_device(self):
+        """Streaming eval data-parallelism (SURVEY §5.8): the jitted infer
+        fn accepts lane-sharded inputs on a device mesh and produces the
+        same poses; the carried hidden state stays sharded across windows."""
+        cfg = tiny_config()
+        model, tx, state = setup(cfg)
+        infer = make_infer_fn(
+            model, {"params": state.params, "batch_stats": state.batch_stats}
+        )
+        img, imu, _, ts = tiny_batch(B=8)
+        p1, c1 = infer(img, imu, ts, None)
+        p1b, _ = infer(img, imu, ts + 1.0, c1)
+
+        mesh = create_mesh(8, 1)
+        simg, simu, sts = shard_batch(mesh, (img, imu, ts))
+        p2, c2 = infer(simg, simu, sts, None)
+        p2b, _ = infer(simg, simu, sts + 1.0, c2)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(p1b), np.asarray(p2b), atol=1e-5)
+
     def test_dryrun_multichip(self):
         import sys
 
