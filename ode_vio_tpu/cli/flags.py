@@ -85,7 +85,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ode_exit_chunk", type=int, default=4,
                    help="early-exit chunk of the batched training solve: "
                         "skip whole chunks of the masked scan once every "
-                        "lane converged (0 disables the chunked skip)")
+                        "lane converged (0 = one chunk spanning the whole "
+                        "budget)")
     p.add_argument("--ode_fixed_step", action="store_true",
                    help="fixed-step integration (update_method parity)")
 
