@@ -1,0 +1,158 @@
+"""Multi-session streaming inference engine.
+
+Serves several live odometry streams from ONE compiled executable by
+multiplexing sessions onto the lanes of a fixed-size batch — the serving
+counterpart of the batched evaluator
+(data/evaluation.py::KittiEvaluator.eval_batched). The reference has no
+serving surface at all (SURVEY.md §0); its tester streams one sequence at
+batch 1 (/root/reference/src/data/KITTI_eval.py:124-160).
+
+TPU-native design:
+
+* The executable is compiled once for ``max_sessions`` lanes; sessions
+  open/close without recompilation (static shapes).
+* Each session's hidden state lives in its lane of the carried pytree on
+  device; idle lanes replay their previous window and their carry is
+  restored afterwards, so an idle session's state never advances.
+* Fresh sessions get a zeroed lane carry and a per-session time offset
+  (the engine re-bases each session's clock to 0, matching the model's
+  cold-start semantics, models/pose_odernn.py ``ts_eff``).
+
+Carry lane axis convention: 3-D carry leaves are ``(L, B, F)`` (lane
+axis 1: ODE-RNN / RNN layer-stacked hidden); 2-D leaves are ``(B, H)``
+(lane axis 0: CDE/RDE/NCP latent).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ode_vio_tpu.training.loop import make_infer_fn
+
+Window = Tuple[np.ndarray, np.ndarray, np.ndarray]  # (imgs, imus, ts)
+
+
+def _lane_axis(leaf: jnp.ndarray) -> int:
+    return 1 if leaf.ndim >= 3 else 0
+
+
+def _zero_lane(carry, lane: int):
+    def z(leaf):
+        idx = (slice(None), lane) if _lane_axis(leaf) == 1 else (lane,)
+        return leaf.at[idx].set(0)
+
+    return jax.tree_util.tree_map(z, carry)
+
+
+def _select_lanes(mask: np.ndarray, new, old):
+    """Per-lane select: lanes with mask=True take ``new``, others ``old``."""
+    m = jnp.asarray(mask)
+
+    def sel(a, b):
+        shape = [1] * a.ndim
+        shape[_lane_axis(a)] = m.shape[0]
+        return jnp.where(m.reshape(shape), a, b)
+
+    return jax.tree_util.tree_map(sel, new, old)
+
+
+class StreamingEngine:
+    """Sessions are integer handles onto batch lanes.
+
+    ``step({sid: (imgs, imus, ts)}) -> {sid: poses}`` advances every
+    submitted session by one window (shapes: imgs ``(S, H, W, 3)``
+    centred float32, imus ``(10*(S-1)+1, 6)``, ts ``(S,)`` strictly
+    ascending on the session's own clock). Sessions not in the dict are
+    untouched. All windows in one call ride a single device step.
+    """
+
+    def __init__(self, model, variables, max_sessions: int = 8,
+                 fold_bn: bool = True):
+        self.N = int(max_sessions)
+        self._infer = make_infer_fn(model, variables, fold_bn=fold_bn)
+        self._free = list(range(self.N - 1, -1, -1))
+        self._open: set = set()
+        self._fresh: set = set()
+        self._t_off = np.zeros(self.N, np.float64)
+        self._carry = None
+        self._last: Dict[int, Window] = {}
+        self._proto: Optional[Window] = None
+
+    # -- session lifecycle -------------------------------------------------
+    def open_session(self) -> int:
+        if not self._free:
+            raise RuntimeError(f"all {self.N} lanes in use")
+        lane = self._free.pop()
+        self._open.add(lane)
+        self._fresh.add(lane)
+        if self._carry is not None:
+            self._carry = _zero_lane(self._carry, lane)
+        return lane
+
+    def close_session(self, sid: int) -> None:
+        self._open.discard(sid)
+        self._fresh.discard(sid)
+        self._last.pop(sid, None)
+        self._free.append(sid)
+
+    # -- serving -----------------------------------------------------------
+    def step(self, windows: Dict[int, Window]) -> Dict[int, np.ndarray]:
+        if not windows:
+            return {}
+        for sid in windows:
+            if sid not in self._open:
+                raise KeyError(f"session {sid} is not open")
+        if self._proto is None:
+            imgs0, imus0, ts0 = next(iter(windows.values()))
+            self._proto = (
+                np.zeros_like(np.asarray(imgs0, np.float32)),
+                np.zeros_like(np.asarray(imus0, np.float32)),
+                np.arange(len(ts0), dtype=np.float32) * 0.1,
+            )
+
+        stacked = []
+        for lane in range(self.N):
+            if lane in windows:
+                imgs, imus, ts = windows[lane]
+                ts = np.asarray(ts, np.float64)
+                if lane in self._fresh:
+                    # re-base this session's clock to 0 (cold-start
+                    # semantics of the pose cores)
+                    self._t_off[lane] = ts[0]
+                    self._fresh.discard(lane)
+                w = (
+                    np.asarray(imgs, np.float32),
+                    np.asarray(imus, np.float32),
+                    (ts - self._t_off[lane]).astype(np.float32),
+                )
+                self._last[lane] = w
+            else:
+                # idle lane: replay (outputs discarded, carry restored)
+                w = self._last.get(lane, self._proto)
+            stacked.append(w)
+
+        imgs = jnp.asarray(np.stack([w[0] for w in stacked], 0))
+        imus = jnp.asarray(np.stack([w[1] for w in stacked], 0))
+        ts = jnp.asarray(np.stack([w[2] for w in stacked], 0))
+
+        if self._carry is None:
+            poses, carry = self._infer(imgs, imus, ts, None)
+            # lanes that did not really start yet must stay zeroed
+            zeroed = jax.tree_util.tree_map(jnp.zeros_like, carry)
+            active = np.array([ln in windows for ln in range(self.N)])
+            self._carry = _select_lanes(active, carry, zeroed)
+        else:
+            poses, carry = self._infer(imgs, imus, ts, self._carry)
+            active = np.array([ln in windows for ln in range(self.N)])
+            self._carry = _select_lanes(active, carry, self._carry)
+
+        poses = np.asarray(poses)
+        return {sid: poses[sid] for sid in windows}
+
+    def incomplete(self) -> int:
+        """Running total of ODE solves truncated by the step budget."""
+        return int(self._infer.incomplete())

@@ -1,0 +1,125 @@
+"""StreamingEngine: multi-session serving on one compiled executable.
+
+Correctness contract: each session's pose stream must be independent of
+which other sessions share the batch — identical (to float tolerance) to
+running that session alone, including across idle steps and lane reuse.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from ode_vio_tpu.config import Config, DataConfig, ModelConfig, SolverConfig
+from ode_vio_tpu.models.deepvio import init_model
+from ode_vio_tpu.serving import StreamingEngine
+
+S, H, W = 3, 32, 64
+
+
+def make_model():
+    cfg = Config(
+        model=ModelConfig(
+            model_type="ode-rnn", img_w=W, img_h=H, seq_len=S,
+            v_f_len=32, i_f_len=16, ode_hidden_dim=32, rnn_num_layers=2,
+            compute_dtype="float32",
+        ),
+        solver=SolverConfig(max_steps=16, dt0=1e-2),
+        data=DataConfig(seq_len=S),
+    )
+    return init_model(cfg, jax.random.PRNGKey(0))
+
+
+def window(seed, t0=0.0):
+    rng = np.random.default_rng(seed)
+    imgs = rng.random((S, H, W, 3), np.float32) - 0.5
+    imus = rng.standard_normal((10 * (S - 1) + 1, 6)).astype(np.float32)
+    ts = t0 + np.cumsum(rng.random(S).astype(np.float32) * 0.05 + 0.08)
+    return imgs, imus, ts
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    return make_model()
+
+
+def solo_run(model_and_vars, windows):
+    """Reference: one engine serving exactly one session."""
+    model, variables = model_and_vars
+    eng = StreamingEngine(model, variables, max_sessions=4)
+    sid = eng.open_session()
+    return [eng.step({sid: w})[sid] for w in windows]
+
+
+class TestStreamingEngine:
+    def test_two_sessions_match_solo(self, model_and_vars):
+        model, variables = model_and_vars
+        a_wins = [window(1, 0.0), window(2, 0.5)]
+        b_wins = [window(11, 3.0), window(12, 3.5)]
+        ref_a = solo_run(model_and_vars, a_wins)
+        ref_b = solo_run(model_and_vars, b_wins)
+
+        eng = StreamingEngine(model, variables, max_sessions=4)
+        a, b = eng.open_session(), eng.open_session()
+        for k in range(2):
+            out = eng.step({a: a_wins[k], b: b_wins[k]})
+            np.testing.assert_allclose(out[a], ref_a[k], rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(out[b], ref_b[k], rtol=1e-5, atol=1e-6)
+
+    def test_idle_session_state_preserved(self, model_and_vars):
+        model, variables = model_and_vars
+        b_wins = [window(21, 0.0), window(22, 0.4)]
+        ref_b = solo_run(model_and_vars, b_wins)
+
+        eng = StreamingEngine(model, variables, max_sessions=4)
+        a, b = eng.open_session(), eng.open_session()
+        p0 = eng.step({a: window(31, 0.0), b: b_wins[0]})
+        np.testing.assert_allclose(p0[b], ref_b[0], rtol=1e-5, atol=1e-6)
+        eng.step({a: window(32, 0.4)})          # b idle — must not advance
+        p1 = eng.step({b: b_wins[1]})
+        np.testing.assert_allclose(p1[b], ref_b[1], rtol=1e-5, atol=1e-6)
+
+    def test_lane_reuse_resets_state(self, model_and_vars):
+        model, variables = model_and_vars
+        wins = [window(41, 0.0), window(42, 0.4)]
+        ref = solo_run(model_and_vars, wins)
+
+        eng = StreamingEngine(model, variables, max_sessions=2)
+        a = eng.open_session()
+        eng.step({a: window(51, 7.0)})
+        eng.step({a: window(52, 7.4)})
+        eng.close_session(a)
+        a2 = eng.open_session()
+        assert a2 == a  # lane recycled
+        out = [eng.step({a2: w})[a2] for w in wins]
+        np.testing.assert_allclose(out[0], ref[0], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(out[1], ref[1], rtol=1e-5, atol=1e-6)
+
+    def test_clock_rebased_per_session(self, model_and_vars):
+        """A session whose wall clock starts late must behave like one
+        starting at t=0 (per-session re-basing). Tolerance note: the
+        re-based timestamps of the shifted stream can differ from the
+        base stream by 1 float32 ulp ((t+1000)-(t0+1000) rounding), and a
+        1-ulp dt perturbation may flip an accept/reject decision in the
+        adaptive controller — shifting the step sequence slightly. The
+        integral itself stays within solver tolerance, so compare at the
+        solver's accuracy, not bitwise."""
+        model, variables = model_and_vars
+        base = [window(61, 0.0), window(62, 0.4)]
+        shifted = [(i, u, t + 1000.0) for (i, u, t) in base]
+        ref = solo_run(model_and_vars, base)
+        out = solo_run(model_and_vars, shifted)
+        np.testing.assert_allclose(out[0], ref[0], rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(out[1], ref[1], rtol=2e-3, atol=2e-4)
+
+    def test_overflow_raises(self, model_and_vars):
+        model, variables = model_and_vars
+        eng = StreamingEngine(model, variables, max_sessions=1)
+        eng.open_session()
+        with pytest.raises(RuntimeError):
+            eng.open_session()
+
+    def test_unknown_session_raises(self, model_and_vars):
+        model, variables = model_and_vars
+        eng = StreamingEngine(model, variables, max_sessions=1)
+        with pytest.raises(KeyError):
+            eng.step({0: window(71)})
