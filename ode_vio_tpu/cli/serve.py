@@ -1,11 +1,16 @@
 """Online serving entry point: ``python -m ode_vio_tpu.cli.serve``.
 
-Streams one sequence through the model as a live odometry service would:
+Streams sequences through the model as a live odometry service would:
 windows arrive in order, the hidden state carries across them, and each
-window's wall-clock latency (decode-wait + device step + readback) is
-recorded. Reports p50/p90/p99 window latency and steady-state throughput
+step's wall-clock latency (decode-wait + device step + readback) is
+recorded. Reports p50/p90/p99 step latency and steady-state throughput
 as one JSON line on stdout, and writes the accumulated KITTI-format
-trajectory.
+trajectories.
+
+One ``--val_seq`` entry serves that sequence alone; several entries are
+multiplexed as concurrent sessions onto the lanes of one compiled
+executable via the :class:`ode_vio_tpu.serving.StreamingEngine` — the
+multi-camera / multi-vehicle serving shape.
 
 The reference has no serving surface (SURVEY.md section 0: "no serving
 path"); this is the deployment-shaped complement of the batch tester
@@ -65,8 +70,11 @@ def main(argv=None):
     else:
         logger.warning("no --pretrain given: serving random init")
 
-    infer = make_infer_fn(model, variables,
-                          fold_bn=not getattr(args, "no_fold_bn", False))
+    fold = not getattr(args, "no_fold_bn", False)
+    if len(cfg.data.val_seq) > 1:
+        return _serve_multi(cfg, model, variables, fold, dirs, logger)
+
+    infer = make_infer_fn(model, variables, fold_bn=fold)
 
     part = EvalPartition(
         cfg.data.data_dir, seq, cfg.data.seq_len,
@@ -125,6 +133,87 @@ def main(argv=None):
     }
     if infer.incomplete() > 0:
         report["solver_incomplete"] = int(infer.incomplete())
+    logger.info("serve report: %s", report)
+    print(json.dumps(report))
+    return report
+
+
+def _serve_multi(cfg, model, variables, fold_bn, dirs, logger):
+    """Serve every ``--val_seq`` sequence as a concurrent session on one
+    compiled executable (StreamingEngine). Latency percentiles are
+    steady-state: the first two steps (which pay jit compilation) are
+    excluded when enough samples exist."""
+    from ode_vio_tpu.serving import StreamingEngine
+
+    seqs = list(cfg.data.val_seq)
+    parts = {
+        s: EvalPartition(cfg.data.data_dir, s, cfg.data.seq_len,
+                         (cfg.model.img_h, cfg.model.img_w))
+        for s in seqs
+    }
+    engine = StreamingEngine(model, variables, max_sessions=len(seqs),
+                             fold_bn=fold_bn)
+    sids = {s: engine.open_session() for s in seqs}
+    pf = Prefetcher(parts[seqs[0]].img_hw)
+    n_steps = max(len(p) for p in parts.values())
+
+    def submit(step):
+        for s in seqs:
+            if step < len(parts[s]):
+                pf.submit(step * len(seqs) + sids[s], parts[s].paths(step))
+
+    chunks = {s: [] for s in seqs}
+    latencies = []
+    t_start = time.perf_counter()
+    try:
+        submit(0)
+        for step in range(n_steps):
+            t0 = time.perf_counter()
+            if step + 1 < n_steps:
+                submit(step + 1)
+            windows = {}
+            metas = {}
+            for s in seqs:
+                if step >= len(parts[s]):
+                    continue  # finished sequence: session idles
+                w = parts[s].assemble(
+                    step, pf.get(step * len(seqs) + sids[s])
+                )
+                metas[s] = w
+                windows[sids[s]] = (w.imgs, w.imus, w.ts)
+            out = engine.step(windows)
+            for s, w in metas.items():
+                chunks[s].append(out[sids[s]][: w.valid])
+            latencies.append(time.perf_counter() - t0)
+    finally:
+        pf.close()
+    wall = time.perf_counter() - t_start
+
+    per_seq = {}
+    total_frames = 0
+    for s in seqs:
+        pose_est = np.concatenate(chunks[s], 0)
+        total_frames += int(pose_est.shape[0])
+        est_mats = geo.accumulate_path(pose_est)
+        geo.save_trajectory(est_mats, dirs["poses"] / f"{s}_pred.txt")
+        gt = np.asarray(parts[s].seq.rel_poses[: len(pose_est)], np.float32)
+        per_seq[s] = round(float(kitti_eval(pose_est, gt)["t_rmse"]), 6)
+
+    lat = np.sort(np.asarray(latencies)) * 1e3
+    steady = lat if len(lat) <= 4 else np.sort(
+        np.asarray(latencies[2:])) * 1e3
+    pct = lambda p: float(np.percentile(steady, p))
+    report = {
+        "sessions": len(seqs),
+        "steps": len(latencies),
+        "frames": total_frames,
+        "latency_ms_p50": round(pct(50), 2),
+        "latency_ms_p90": round(pct(90), 2),
+        "latency_ms_p99": round(pct(99), 2),
+        "frames_per_sec": round(total_frames / wall, 1),
+        "t_rmse": per_seq,
+        "solver_incomplete": engine.incomplete(),
+    }
     logger.info("serve report: %s", report)
     print(json.dumps(report))
     return report

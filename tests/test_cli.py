@@ -77,6 +77,16 @@ def test_train_then_test_cli(kitti_root, tmp_path):
     )
     assert served.shape[0] == report["frames"] + 1
 
+    # multi-session serving: both sequences as concurrent sessions on one
+    # executable (StreamingEngine under the serve CLI)
+    multi = serve_main(
+        ["--data_dir", str(kitti_root), "--save_dir", str(save),
+         "--experiment_name", "e2e", "--pretrain", str(ckpt_dir),
+         *TINY_FLAGS, "--val_seq", "00", "05"]
+    )
+    assert multi["sessions"] == 2 and multi["frames"] > report["frames"]
+    assert (save / "e2e_serve" / "poses" / "00_pred.txt").exists()
+
 
 def test_resume_from_checkpoint(kitti_root, tmp_path):
     from ode_vio_tpu.cli.train import main as train_main
