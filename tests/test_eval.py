@@ -79,6 +79,18 @@ class TestEvalPartition:
         assert np.all(np.diff(last.ts) > 0)
         assert last.valid <= 10
 
+    def test_sequence_shorter_than_window(self, tmp_path):
+        """A sequence with fewer frames than one window still yields one
+        fully-padded static-shape window (ragged-tail path, stride-less)."""
+        root = make_kitti_tree(tmp_path / "short", seqs=("05",), n_frames=6,
+                               img_hw=(32, 64))
+        part = EvalPartition(root, "05", seq_len=11, img_hw=(32, 64))
+        assert len(part) == 1
+        w = part[0]
+        assert w.imgs.shape == (11, 32, 64, 3)
+        assert w.ts.shape == (11,) and np.all(np.diff(w.ts) > 0)
+        assert w.valid == 5  # 6 frames -> 5 real transitions
+
     def test_eval_dropout_changes_frames(self, kitti_root):
         p0 = EvalPartition(kitti_root, "05", seq_len=11, img_hw=(32, 64))
         p1 = EvalPartition(kitti_root, "05", seq_len=11, img_hw=(32, 64),
