@@ -278,6 +278,148 @@ def convert_deepvio(
     return {"params": params, "batch_stats": stats}
 
 
+# ---------------------------------------------------------------------------
+# Reverse direction: JAX variables -> reference-layout torch state_dict
+# ---------------------------------------------------------------------------
+
+def _inv_rows(perm: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Invert a row permutation applied by the forward converter."""
+    out = np.empty_like(w)
+    out[perm] = w
+    return out
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(x)
+
+
+def export_image_encoder(params, stats, conv_out_hw, prefix="Image_net."):
+    sd: Dict[str, np.ndarray] = {}
+    for i, name in enumerate(_TRUNK_NAMES):
+        block = params.get(f"block{i}")
+        if block is None:
+            continue
+        sd[f"{prefix}{name}.0.weight"] = np.transpose(
+            _np(block["conv"]["kernel"]), (3, 2, 0, 1)  # HWIO -> OIHW
+        )
+        bn = block["bn"]
+        bs = stats[f"block{i}"]["bn"]
+        sd[f"{prefix}{name}.1.weight"] = _np(bn["scale"])
+        sd[f"{prefix}{name}.1.bias"] = _np(bn["bias"])
+        sd[f"{prefix}{name}.1.running_mean"] = _np(bs["mean"])
+        sd[f"{prefix}{name}.1.running_var"] = _np(bs["var"])
+    head = params.get("visual_head")
+    if head is not None:
+        w = _np(head["kernel"])  # (in=HWC, out)
+        h, wd = conv_out_hw
+        c = w.shape[0] // (h * wd)
+        w = _inv_rows(_chw_to_hwc_permutation(c, h, wd), w)
+        sd[f"{prefix}visual_head.weight"] = np.transpose(w)
+        sd[f"{prefix}visual_head.bias"] = _np(head["bias"])
+    return sd
+
+
+def export_inertial_encoder(params, stats, prefix="Inertial_net."):
+    sd: Dict[str, np.ndarray] = {}
+    for j, idx in enumerate((0, 4, 8)):
+        conv = params[f"conv{j}"]
+        sd[f"{prefix}encoder_conv.{idx}.weight"] = np.transpose(
+            _np(conv["kernel"]), (2, 1, 0)  # KIO -> OIK
+        )
+        sd[f"{prefix}encoder_conv.{idx}.bias"] = _np(conv["bias"])
+        bn_p = params[f"bn{j}"]
+        bn_s = stats[f"bn{j}"]
+        sd[f"{prefix}encoder_conv.{idx + 1}.weight"] = _np(bn_p["scale"])
+        sd[f"{prefix}encoder_conv.{idx + 1}.bias"] = _np(bn_p["bias"])
+        sd[f"{prefix}encoder_conv.{idx + 1}.running_mean"] = _np(bn_s["mean"])
+        sd[f"{prefix}encoder_conv.{idx + 1}.running_var"] = _np(bn_s["var"])
+    w = _np(params["proj"]["kernel"])
+    w = _inv_rows(_chw_to_hwc_permutation(256, 1, 11), w)
+    sd[f"{prefix}proj.weight"] = np.transpose(w)
+    sd[f"{prefix}proj.bias"] = _np(params["proj"]["bias"])
+    return sd
+
+
+def _export_mlp(sd, layers, prefix):
+    for i, layer in enumerate(layers):
+        sd[f"{prefix}.{2 * i}.weight"] = _np(layer["w"])
+        sd[f"{prefix}.{2 * i}.bias"] = _np(layer["b"])
+
+
+def _export_dense(sd, dense, key):
+    sd[f"{key}.weight"] = np.transpose(_np(dense["kernel"]))
+    sd[f"{key}.bias"] = _np(dense["bias"])
+
+
+def _export_lin(sd, lin, key):
+    sd[f"{key}.weight"] = _np(lin["w"])
+    sd[f"{key}.bias"] = _np(lin["b"])
+
+
+def export_pose_net(pose, model_type, prefix="Pose_net."):
+    sd: Dict[str, np.ndarray] = {}
+    if model_type in ("ode-rnn", "rnn"):
+        if model_type == "ode-rnn":
+            _export_mlp(sd, pose["ode_func"], f"{prefix}ode_func.net")
+        for k, layer in enumerate(pose["rnn"]):
+            sd[f"{prefix}rnn.weight_ih_l{k}"] = _np(layer["w_ih"])
+            sd[f"{prefix}rnn.weight_hh_l{k}"] = _np(layer["w_hh"])
+            sd[f"{prefix}rnn.bias_ih_l{k}"] = _np(layer["b_ih"])
+            sd[f"{prefix}rnn.bias_hh_l{k}"] = _np(layer["b_hh"])
+    elif model_type in ("cde", "rde"):
+        _export_mlp(sd, pose["cde_func"], f"{prefix}cde_func.net")
+        _export_dense(sd, pose["initial"], f"{prefix}initial.0")
+        if model_type == "cde":
+            _export_dense(sd, pose["reduction0"], f"{prefix}reduction_net.0")
+            _export_dense(sd, pose["reduction1"], f"{prefix}reduction_net.2")
+        else:
+            _export_dense(sd, pose["reduction"], f"{prefix}reduction_net")
+    elif model_type == "cfc":
+        cell = pose["cfc"]
+        _export_lin(sd, cell["backbone"], f"{prefix}rnn.rnn_cell.backbone.0")
+        for name in ("ff1", "ff2", "time_a", "time_b"):
+            _export_lin(sd, cell[name], f"{prefix}rnn.rnn_cell.{name}")
+    elif model_type == "ltc":
+        cell = pose["ltc"]
+        _export_lin(sd, cell["w_x"], f"{prefix}rnn.w_x")
+        _export_lin(sd, cell["w_h"], f"{prefix}rnn.w_h")
+        sd[f"{prefix}rnn.log_tau"] = _np(cell["log_tau"])
+        sd[f"{prefix}rnn.A"] = _np(cell["A"])
+    else:
+        raise ValueError(f"unknown pose core '{model_type}'")
+    _export_dense(sd, pose["regressor"]["fc0"], f"{prefix}regressor.0")
+    _export_dense(sd, pose["regressor"]["fc1"], f"{prefix}regressor.2")
+    if "fuse" in pose:
+        _export_dense(sd, pose["fuse"]["gate"], f"{prefix}fuse.net.0")
+    return sd
+
+
+def export_deepvio(
+    variables,
+    model_type: str,
+    conv_out_hw: tuple[int, int] = (4, 8),
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_deepvio`: our variables pytree back into a
+    reference-layout state_dict (numpy), so a model trained here can be
+    loaded by the reference's torch tooling
+    (``model.load_state_dict({k: torch.from_numpy(v) ...}, strict=False)``
+    — non-strict only because BatchNorm ``num_batches_tracked`` counters
+    are not emitted). Exact roundtrip: ``convert_deepvio(export_deepvio(v))
+    == v`` (tests/test_convert_cores.py::TestRoundtrip)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd = export_image_encoder(
+        params["image_encoder"], stats.get("image_encoder", {}), conv_out_hw
+    )
+    sd.update(
+        export_inertial_encoder(
+            params["inertial_encoder"], stats.get("inertial_encoder", {})
+        )
+    )
+    sd.update(export_pose_net(params["pose_net"], model_type))
+    return sd
+
+
 def load_torch_checkpoint(path) -> Dict[str, np.ndarray]:
     """Read a .pth/.tar torch checkpoint into numpy (torch CPU build)."""
     import torch

@@ -337,3 +337,48 @@ class TestConvertedCores:
         np.testing.assert_allclose(np.asarray(j_poses), t_poses.numpy(),
                                    atol=ATOL)
         np.testing.assert_allclose(np.asarray(j_h), t_h.numpy(), atol=ATOL)
+
+
+class TestRoundtrip:
+    """export_deepvio must be the exact inverse of convert_deepvio: a model
+    trained here exports to a reference-layout state_dict and converts back
+    to the identical variables pytree, for every pose-core family."""
+
+    @pytest.mark.parametrize(
+        "mt", ["ode-rnn", "rnn", "cde", "rde", "cfc", "ltc"]
+    )
+    def test_export_then_convert_is_identity(self, mt):
+        from ode_vio_tpu.config import Config, DataConfig
+        from ode_vio_tpu.models.convert import convert_deepvio, export_deepvio
+        from ode_vio_tpu.models.deepvio import init_model
+
+        cfg = Config(
+            model=ModelConfig(
+                model_type=mt, img_w=128, img_h=64, seq_len=4,
+                v_f_len=16, i_f_len=8, ode_hidden_dim=16,
+                rnn_num_layers=2, fuse_method="soft",
+                cde_hidden_dim=8, rde_reduced_dim=3,
+                compute_dtype="float32",
+            ),
+            solver=SolverConfig(max_steps=8, dt0=1e-2),
+            data=DataConfig(seq_len=4),
+        )
+        _, v = init_model(cfg, jax.random.PRNGKey(0))
+        v = {"params": v["params"], "batch_stats": v.get("batch_stats", {})}
+
+        sd = export_deepvio(v, mt, conv_out_hw=(64 // 64, 128 // 64))
+        v2 = convert_deepvio(sd, mt, rnn_num_layers=2,
+                             conv_out_hw=(64 // 64, 128 // 64))
+
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(v2)), (
+            f"{mt}: roundtrip changed the tree structure"
+        )
+        for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(v)[0],
+            jax.tree_util.tree_flatten_with_path(v2)[0],
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"{mt}: leaf {jax.tree_util.keystr(path)} differs",
+            )
