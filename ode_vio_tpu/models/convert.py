@@ -33,6 +33,21 @@ _TRUNK_NAMES = (
     "conv4_1", "conv5", "conv5_1", "conv6",
 )
 
+# (kernel, stride) of the trunk in block order (models/encoders.py TRUNK)
+_TRUNK_KS = ((7, 2), (5, 2), (5, 2), (3, 1), (3, 2),
+             (3, 1), (3, 2), (3, 1), (3, 2))
+
+
+def trunk_out_hw(img_h: int, img_w: int) -> tuple[int, int]:
+    """Exact conv-trunk output spatial shape for an input image size
+    (symmetric torch-style padding: out = floor((in - 1) / s) + 1).
+    (256, 512) -> (4, 8); small test images bottom out at 1."""
+    h, w = img_h, img_w
+    for k, s in _TRUNK_KS:
+        h = (h - 1) // s + 1
+        w = (w - 1) // s + 1
+    return h, w
+
 
 def _conv2d(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO

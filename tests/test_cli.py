@@ -87,6 +87,22 @@ def test_train_then_test_cli(kitti_root, tmp_path):
     assert multi["sessions"] == 2 and multi["frames"] > report["frames"]
     assert (save / "e2e_serve" / "poses" / "00_pred.txt").exists()
 
+    # export CLI: trained checkpoint -> reference-layout state_dict, and
+    # the converter roundtrips it back to the identical params
+    from ode_vio_tpu.cli.export import main as export_main
+    from ode_vio_tpu.models.convert import convert_deepvio, trunk_out_hw
+
+    out = tmp_path / "ref_sd.npz"
+    sd = export_main(
+        ["--data_dir", str(kitti_root), "--save_dir", str(save),
+         "--experiment_name", "e2e", "--pretrain", str(ckpt_dir),
+         *TINY_FLAGS, "--out", str(out)]
+    )
+    assert out.exists() and "Pose_net.regressor.0.weight" in sd
+    v2 = convert_deepvio(dict(np.load(out)), "ode-rnn", rnn_num_layers=2,
+                         conv_out_hw=trunk_out_hw(32, 64))
+    assert "image_encoder" in v2["params"]
+
 
 def test_resume_from_checkpoint(kitti_root, tmp_path):
     from ode_vio_tpu.cli.train import main as train_main
