@@ -382,3 +382,11 @@ class TestRoundtrip:
                 np.asarray(a), np.asarray(b),
                 err_msg=f"{mt}: leaf {jax.tree_util.keystr(path)} differs",
             )
+
+
+def test_trunk_out_hw():
+    from ode_vio_tpu.models.convert import trunk_out_hw
+
+    assert trunk_out_hw(256, 512) == (4, 8)   # reference dims (Encoder.py)
+    assert trunk_out_hw(64, 128) == (1, 2)
+    assert trunk_out_hw(32, 64) == (1, 1)     # tiny test fixture floor
