@@ -82,12 +82,15 @@ def main(argv=None):
     )
 
     # warm-up: compile both the cold-start and carried executables on a
-    # synthetic window so the first served frame pays no compile latency
+    # synthetic window so the first served frame pays no compile latency;
+    # truncated-solve counters reset afterwards so the report only counts
+    # solves that actually served a frame
     w0 = part[0]
     _, carry = infer(w0.imgs[None], w0.imus[None], w0.ts[None], None)
     jax.block_until_ready(
         infer(w0.imgs[None], w0.imus[None], w0.ts[None], carry)[0]
     )
+    infer.reset_incomplete()
     logger.info("compiled; serving sequence %s (%d windows)", seq, len(part))
 
     pf = Prefetcher(part.img_hw)
@@ -140,9 +143,10 @@ def main(argv=None):
 
 def _serve_multi(cfg, model, variables, fold_bn, dirs, logger):
     """Serve every ``--val_seq`` sequence as a concurrent session on one
-    compiled executable (StreamingEngine). Latency percentiles are
-    steady-state: the first two steps (which pay jit compilation) are
-    excluded when enough samples exist."""
+    compiled executable (StreamingEngine). The engine is warmed up
+    (compiled) on synthetic proto windows before the clock starts, so both
+    the throughput denominator and the latency percentiles are
+    steady-state."""
     from ode_vio_tpu.serving import StreamingEngine
 
     seqs = list(cfg.data.val_seq)
@@ -154,6 +158,9 @@ def _serve_multi(cfg, model, variables, fold_bn, dirs, logger):
     engine = StreamingEngine(model, variables, max_sessions=len(seqs),
                              fold_bn=fold_bn)
     sids = {s: engine.open_session() for s in seqs}
+    w0 = parts[seqs[0]][0]
+    engine.warmup((w0.imgs, w0.imus, w0.ts))
+    logger.info("compiled; serving %d sessions", len(seqs))
     pf = Prefetcher(parts[seqs[0]].img_hw)
     n_steps = max(len(p) for p in parts.values())
 

@@ -101,6 +101,20 @@ class ModelConfig:
     # RDE (PoseRDE.py:69-70)
     logsig_depth: int = 2
     logsig_window: int = 20
+    # Streaming-eval statefulness for RDE (mirrors cde_streaming_mode):
+    #   'carry'   (default) — the carried state is the last evaluated z;
+    #             each window integrates its own compressed path from it.
+    #   'history' — reference semantics (PoseRDE.py:90-95): accumulate the
+    #             per-window log-signature paths and re-integrate the
+    #             growing compressed path from the carried initial state —
+    #             realised as a fixed-capacity ring buffer of
+    #             `rde_history_cap` compressed-path knots with the carried
+    #             z0 advanced exactly over evicted segments.
+    rde_streaming_mode: str = "carry"
+    # Capacity in COMPRESSED knots: each knot summarises up to
+    # `logsig_window` raw observations, so the default covers
+    # 32*20 = 640 raw frames of path history.
+    rde_history_cap: int = 32
     # Channel count of the reduced path fed to the log-signature. The
     # reference's dims are internally inconsistent (its CDE field expects
     # cde_hidden+1 channels, PoseRDE.py:48, but the logsig of a 769-channel

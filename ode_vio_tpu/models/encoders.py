@@ -79,11 +79,17 @@ def _int8_conv(x, kernel, stride, pad, out_dtype):
     int8 activation tensors halve the HBM traffic between layers. Scales
     are computed at trace time (weights) / on the fly (activations), so
     the parameter pytree is the unquantised float checkpoint — nothing
-    about training or conversion changes."""
+    about training or conversion changes.
+
+    The activation scale is PER BATCH ELEMENT (axis 0), not per tensor:
+    batched eval / the StreamingEngine co-batch independent sessions onto
+    lanes, and a shared dynamic scale would make one session's
+    quantisation (and outputs) depend on what the other lanes carry —
+    including idle lanes replaying stale windows."""
     kmax = jnp.max(jnp.abs(kernel), axis=(0, 1, 2))          # (O,)
     kscale = jnp.maximum(kmax, 1e-8) / 127.0
     kq = jnp.clip(jnp.round(kernel / kscale), -127, 127).astype(jnp.int8)
-    amax = jnp.max(jnp.abs(x))
+    amax = jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True)   # (B,1,1,1)
     ascale = jnp.maximum(amax, 1e-8) / 127.0
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / ascale),
                   -127, 127).astype(jnp.int8)

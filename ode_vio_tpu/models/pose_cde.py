@@ -132,8 +132,9 @@ class PoseCDE(nn.Module):
             zs, stats = jax.vmap(solve_one)(obs, knots, z0)   # (B, S-1, H)
             self.sow("intermediates", "cde_steps_accepted",
                      jnp.sum(stats.accepted))
+            # per batch lane (B,) so serving can attribute truncations
             self.sow("intermediates", "cde_solves_incomplete",
-                     jnp.sum(stats.incomplete))
+                     stats.incomplete.reshape(zs.shape[0], -1).sum(1))
 
         poses = PoseRegressor(name="regressor")(zs)
         return poses, zs[:, -1, :]
@@ -204,6 +205,6 @@ class PoseCDE(nn.Module):
         self.sow("intermediates", "cde_steps_accepted",
                  jnp.sum(stats.accepted))
         self.sow("intermediates", "cde_solves_incomplete",
-                 jnp.sum(stats.incomplete))
+                 stats.incomplete.reshape(B, -1).sum(1))
         poses = PoseRegressor(name="regressor")(zs_all[:, -T:])
         return poses, {"z0": z0, "buf": buf, "cnt": cnt}

@@ -109,7 +109,7 @@ class PoseODERNN(nn.Module):
             def evolve(y, t0, t1, dt0):
                 y1 = adj(y, t0, t1)
                 zero = jnp.zeros((), jnp.int32)
-                return y1, dt0, zero, zero, zero
+                return y1, dt0, zero, zero, jnp.zeros((B,), jnp.int32)
         elif use_pallas:
             from ode_vio_tpu.ops.pallas_kernels import fused_ode_solve
 
@@ -122,7 +122,10 @@ class PoseODERNN(nn.Module):
                     safety=opts.safety, factor_min=opts.factor_min,
                     factor_max=opts.factor_max,
                 )
-                return y1, dt_fin, acc.sum(), rej.sum(), inc.sum()
+                # incomplete stays per-sample: (L*B,) -> (B,) so callers
+                # can attribute truncated solves to batch lanes
+                return (y1, dt_fin, acc.sum(), rej.sum(),
+                        inc.reshape(L, B).sum(0))
         elif opts.unroll_mode == "bounded" and opts.adaptive:
             # training: batched bounded solve with chunked early exit —
             # once every (layer, sample) lane converged, whole chunks of
@@ -133,7 +136,8 @@ class PoseODERNN(nn.Module):
                     ode_fn, y, t0, t1, opts, dt0
                 )
                 return (y1, dt_fin, stats.accepted.sum(),
-                        stats.rejected.sum(), stats.incomplete.sum())
+                        stats.rejected.sum(),
+                        stats.incomplete.reshape(L, B).sum(0))
         else:
             solve = jax.vmap(
                 lambda y, a, b, d: solve_ivp_dt(ode_fn, y, a, b, opts, d)
@@ -142,7 +146,8 @@ class PoseODERNN(nn.Module):
             def evolve(y, t0, t1, dt0):
                 y1, dt_fin, stats = solve(y, t0, t1, dt0)
                 return (y1, dt_fin, stats.accepted.sum(),
-                        stats.rejected.sum(), stats.incomplete.sum())
+                        stats.rejected.sum(),
+                        stats.incomplete.reshape(L, B).sum(0))
 
         def step(carry, inp):
             h, dt = carry
@@ -168,8 +173,10 @@ class PoseODERNN(nn.Module):
         self.sow("intermediates", "ode_steps_rejected", jnp.sum(rej))
         # count of (lane, interval) solves that ran out of step budget
         # before reaching t1 — nonzero means the integration silently
-        # truncated (starved max_steps/max_steps_train)
-        self.sow("intermediates", "ode_solves_incomplete", jnp.sum(inc))
+        # truncated (starved max_steps/max_steps_train). Kept per batch
+        # lane (B,) so multi-session serving can attribute truncations.
+        self.sow("intermediates", "ode_solves_incomplete",
+                 jnp.sum(inc, axis=0))
 
         outs = jnp.swapaxes(outs, 0, 1)  # (B, S-1, F)
         outs = nn.Dropout(cfg.rnn_dropout_out, deterministic=not train)(outs)

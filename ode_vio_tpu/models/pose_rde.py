@@ -57,7 +57,15 @@ class PoseRDE(nn.Module):
                      name="reduction")(fused)
 
         ts = ts.astype(jnp.float32)
-        ts_eff = ts - ts[:, :1]              # re-based (PoseRDE.py:85)
+        history_mode = (not train) and cfg.rde_streaming_mode == "history"
+        if history_mode:
+            # sequence clock shared across the whole buffered history
+            ts_eff = ts
+        else:
+            # train / cold start: re-base to 0 (PoseRDE.py:85); carried
+            # streaming eval continues on the sequence clock (same
+            # convention as the ODE-RNN / CDE carries)
+            ts_eff = ts - ts[:, :1] if train or prev is None else ts
         knots = ts_eff[:, 1:]                # (B, S-1)
         obs = jnp.concatenate([knots[..., None], x], axis=-1)  # (B, S-1, d)
 
@@ -89,6 +97,9 @@ class PoseRDE(nn.Module):
             zs, stats = cdeint(path, g, z0_i, eval_ts_i, opts)
             return zs, stats
 
+        if history_mode:
+            return self._history_step(obs, knots, prev, initial, g, opts)
+
         if prev is None:
             z0 = jnp.tanh(initial(obs[:, 0]))
         else:
@@ -97,8 +108,115 @@ class PoseRDE(nn.Module):
 
         zs, stats = jax.vmap(solve_one)(obs, knots, knots, z0)
         self.sow("intermediates", "rde_steps_accepted", jnp.sum(stats.accepted))
+        # per batch lane (B,) so serving can attribute truncations
         self.sow("intermediates", "rde_solves_incomplete",
-                 jnp.sum(stats.incomplete))
+                 stats.incomplete.reshape(zs.shape[0], -1).sum(1))
 
         poses = PoseRegressor(name="regressor")(zs)
         return poses, zs[:, -1, :]
+
+    def _history_step(self, obs, knots, prev, initial, g, opts):
+        """Reference-semantics streaming eval (PoseRDE.py:90-95) with
+        static shapes: each window's log-signature path is appended to a
+        ring buffer of the last ``rde_history_cap`` COMPRESSED-path knots
+        (this is the point of the RDE family — history cost is per
+        compressed window, not per raw observation), and the whole
+        buffered path is re-integrated every window from the carried
+        initial state.
+
+        The buffered path is kept continuous: appended knot values are the
+        running cumulative sum of per-window log-signatures, so segment
+        increments — the only thing a linear CDE integral sees — equal the
+        window logsigs. (Deliberate divergence: the reference's raw
+        ``torch.cat`` of per-window ``logsig_windows`` outputs re-baselines
+        every window at zero, injecting a spurious jump increment at each
+        window boundary, PoseRDE.py:90-95; the continuous path is the
+        log-ODE method as intended.) Invalid prefix slots collapse onto the
+        earliest valid knot (zero-length segments, zero derivative).
+
+        Eviction exactness: when the buffer saturates, the carried z0 is
+        ADVANCED across the evicted segments before re-integrating (for a
+        piecewise-linear control path the solution restricted to the
+        retained path, started from z(t_evict), equals the full-path
+        solution), so the cap costs only solver tolerance — measured by
+        tests/test_rde_history.py::TestCapAccuracy."""
+        cfg = self.cfg
+        K = cfg.rde_history_cap
+        B, T, D_in = obs.shape
+
+        def compress(obs_i, knots_i):
+            ys, t_new = logsig_windows(
+                obs_i, knots_i, depth=cfg.logsig_depth,
+                window=cfg.logsig_window,
+            )
+            return ys, t_new
+
+        ys, t_new = jax.vmap(compress)(obs, knots)  # (B, W+1, D), (B, W+1)
+        W = ys.shape[1] - 1                          # compressed segments
+        D = ys.shape[2]
+        if K < W + 1:
+            raise ValueError(
+                f"rde_history_cap ({K}) must cover one window's "
+                f"{W + 1} compressed knots"
+            )
+
+        if prev is None:
+            z0 = jnp.tanh(initial(obs[:, 0]))
+            buf_y = jnp.zeros((B, K, D), ys.dtype).at[:, K - (W + 1):].set(ys)
+            buf_t = jnp.zeros((B, K), t_new.dtype).at[:, K - (W + 1):].set(
+                t_new)
+            cnt = jnp.full((B,), W + 1, jnp.int32)
+        else:
+            z0, buf_t, buf_y, cnt = (
+                prev["z0"], prev["t"], prev["y"], prev["cnt"]
+            )
+            _ = initial(obs[:, 0])  # materialize params consistently
+
+            # advance z0 over the W outgoing segments (zero-length masked
+            # prefix slots -> exact no-op before saturation)
+            ev_t, ev_y = buf_t[:, : W + 1], buf_y[:, : W + 1]
+
+            def advance_one(t_i, y_i, z0_i):
+                path = make_path(t_i, y_i, "linear")
+                zs, _ = cdeint(path, g, z0_i, t_i, opts)
+                return zs[-1]
+
+            z0 = jax.vmap(advance_one)(ev_t, ev_y, z0)
+
+            # append, continuing the cumulative signature path from the
+            # buffer's tail value
+            new_y = buf_y[:, -1:, :] + ys[:, 1:]          # (B, W, D)
+            buf_y = jnp.roll(buf_y, -W, axis=1).at[:, K - W:].set(new_y)
+            buf_t = jnp.roll(buf_t, -W, axis=1).at[:, K - W:].set(t_new[:, 1:])
+            cnt = jnp.minimum(cnt + W, K)
+
+        # collapse invalid prefix slots onto the earliest valid knot
+        pos = jnp.arange(K)[None, :]
+        valid = pos >= (K - cnt)[:, None]
+        first = (K - cnt).astype(jnp.int32)
+        first_t = jnp.take_along_axis(buf_t, first[:, None], axis=1)
+        first_y = jnp.take_along_axis(
+            buf_y, jnp.broadcast_to(first[:, None, None], (B, 1, D)), axis=1)
+        buf_t = jnp.where(valid, buf_t, first_t)
+        buf_y = jnp.where(valid[..., None], buf_y, first_y)
+
+        def solve_one(t_i, y_i, z0_i, eval_ts_i):
+            path = make_path(t_i, y_i, "linear")
+            return cdeint(path, g, z0_i, eval_ts_i, opts)
+
+        # evaluate through every intermediate buffer knot, then the
+        # window's obs times: each adaptive sub-solve then spans at most
+        # one piecewise-linear segment (a single solve from the oldest
+        # retained knot to the first eval time would have to resolve every
+        # path kink in one max_steps budget and truncates). The buffer
+        # knots inside the newest window (t_new[1:]) are a subset of
+        # ``knots`` already; older knots all precede knots[0].
+        eval_ts = jnp.concatenate([buf_t[:, 1: K - W], knots], axis=1)
+        zs_all, stats = jax.vmap(solve_one)(buf_t, buf_y, z0, eval_ts)
+        zs = zs_all[:, -T:]                                       # (B,T,H)
+        self.sow("intermediates", "rde_steps_accepted",
+                 jnp.sum(stats.accepted))
+        self.sow("intermediates", "rde_solves_incomplete",
+                 stats.incomplete.reshape(B, -1).sum(1))
+        poses = PoseRegressor(name="regressor")(zs)
+        return poses, {"z0": z0, "t": buf_t, "y": buf_y, "cnt": cnt}

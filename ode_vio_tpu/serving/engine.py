@@ -139,20 +139,52 @@ class StreamingEngine:
         imus = jnp.asarray(np.stack([w[1] for w in stacked], 0))
         ts = jnp.asarray(np.stack([w[2] for w in stacked], 0))
 
+        # truncated-solve counters only accumulate for lanes serving a real
+        # window this step — idle lanes replaying stale/proto windows must
+        # not inflate solver_incomplete (their outputs are discarded)
+        active = np.array([ln in windows for ln in range(self.N)])
         if self._carry is None:
-            poses, carry = self._infer(imgs, imus, ts, None)
+            poses, carry = self._infer(imgs, imus, ts, None, active=active)
             # lanes that did not really start yet must stay zeroed
             zeroed = jax.tree_util.tree_map(jnp.zeros_like, carry)
-            active = np.array([ln in windows for ln in range(self.N)])
             self._carry = _select_lanes(active, carry, zeroed)
         else:
-            poses, carry = self._infer(imgs, imus, ts, self._carry)
-            active = np.array([ln in windows for ln in range(self.N)])
+            poses, carry = self._infer(imgs, imus, ts, self._carry,
+                                       active=active)
             self._carry = _select_lanes(active, carry, self._carry)
 
         poses = np.asarray(poses)
         return {sid: poses[sid] for sid in windows}
 
+    def warmup(self, proto: Window) -> None:
+        """Compile both executables (cold-start and carried) on synthetic
+        lanes shaped like ``proto`` so the first served step pays no jit
+        latency. Leaves no trace: the carry stays unset and the
+        truncated-solve counters are reset afterwards."""
+        imgs, imus, ts = proto
+        self._proto = (
+            np.zeros_like(np.asarray(imgs, np.float32)),
+            np.zeros_like(np.asarray(imus, np.float32)),
+            np.arange(len(ts), dtype=np.float32) * 0.1,
+        )
+        imgs = jnp.asarray(np.broadcast_to(
+            self._proto[0][None], (self.N,) + self._proto[0].shape))
+        imus = jnp.asarray(np.broadcast_to(
+            self._proto[1][None], (self.N,) + self._proto[1].shape))
+        tss = jnp.asarray(np.broadcast_to(
+            self._proto[2][None], (self.N,) + self._proto[2].shape))
+        inactive = np.zeros(self.N, bool)
+        _, carry = self._infer(imgs, imus, tss, None, active=inactive)
+        jax.block_until_ready(
+            self._infer(imgs, imus, tss, carry, active=inactive)
+        )
+        self._infer.reset_incomplete()
+
     def incomplete(self) -> int:
-        """Running total of ODE solves truncated by the step budget."""
+        """Running total of ODE solves truncated by the step budget,
+        counting only steps that served an active session."""
         return int(self._infer.incomplete())
+
+    def incomplete_by_lane(self):
+        """Per-lane truncated-solve totals (None before the first step)."""
+        return self._infer.incomplete_by_lane()

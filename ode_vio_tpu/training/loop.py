@@ -168,12 +168,43 @@ def _sum_sown(inter, substr: str) -> jnp.ndarray:
     return total
 
 
+def _sown_per_lane(inter, substr: str, batch: int) -> jnp.ndarray:
+    """Per-batch-lane version of :func:`_sum_sown`: every matching leaf is
+    reduced onto its leading ``batch`` axis, so the result attributes the
+    counts to batch lanes (the pose cores sow 'incomplete' as ``(B,)``).
+    Leaves without a lane axis (legacy scalar sows) are spread onto lane 0
+    so no count is ever lost."""
+    total = jnp.zeros((batch,), jnp.int32)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(inter)[0]:
+        if any(substr in str(getattr(p, "key", "")) for p in path):
+            leaf = jnp.asarray(leaf, jnp.int32)
+            if leaf.ndim >= 1 and leaf.shape[-1] == batch:
+                # sown leaves may gain leading axes (e.g. flax sow tuples
+                # stacked by scan); reduce everything but the lane axis
+                total = total + leaf.reshape(-1, batch).sum(0)
+            else:
+                total = total.at[0].add(leaf.sum())
+    return total
+
+
 def make_train_step(model, tx, cfg: Config) -> Callable:
     """Build the jitted train step: (state, img, imu, gts, ts) ->
-    (state, metrics). Donates the state for in-place device updates."""
-    w = cfg.train.angle_loss_weight
+    (state, metrics). Donates the state for in-place device updates.
 
-    def loss_fn(params, batch_stats, img, imu, gts, ts, rngs):
+    With ``freeze_encoder`` the image-encoder params are split out of the
+    differentiated arguments, so XLA never builds the encoder backward at
+    all — the same cost shape as the reference, where
+    ``requires_grad=False`` stops torch autograd from recording the
+    encoder graph (train_model.py:191-194). The frozen subtree's gradient
+    slots are filled with zeros for the optimizer (whose 'frozen' group is
+    ``set_to_zero`` anyway), and BatchNorm statistics still update in the
+    forward pass, exactly like torch train mode under requires_grad=False.
+    """
+    w = cfg.train.angle_loss_weight
+    frozen_keys = ("image_encoder",) if cfg.train.freeze_encoder else ()
+
+    def loss_fn(trainable, frozen, batch_stats, img, imu, gts, ts, rngs):
+        params = {**trainable, **frozen}
         (poses, _), updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             img, imu, ts,
@@ -191,9 +222,16 @@ def make_train_step(model, tx, cfg: Config) -> Callable:
     def train_step(state: TrainState, img, imu, gts, ts):
         rng, r_drop, r_gumbel = jax.random.split(state.rng, 3)
         rngs = {"dropout": r_drop, "gumbel": r_gumbel}
+        trainable = {k: v for k, v in state.params.items()
+                     if k not in frozen_keys}
+        frozen = {k: v for k, v in state.params.items() if k in frozen_keys}
         (loss, (new_bs, angle, trans, incomplete)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.batch_stats, img, imu, gts, ts, rngs)
+        )(trainable, frozen, state.batch_stats, img, imu, gts, ts, rngs)
+        grads = {
+            **grads,
+            **jax.tree_util.tree_map(jnp.zeros_like, frozen),
+        }
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {
@@ -233,8 +271,12 @@ def make_infer_fn(model, variables, fold_bn: bool = False) -> Callable:
     evaluator can reuse one compiled executable for the whole run.
 
     Solver observability: truncated solves accumulate device-side (no
-    per-call host sync); read the running total with
-    ``infer.incomplete()``."""
+    per-call host sync) PER BATCH LANE; read the running total with
+    ``infer.incomplete()`` or the per-lane vector with
+    ``infer.incomplete_by_lane()``. Callers multiplexing independent
+    sessions onto lanes (serving/engine.py) pass ``active`` — a boolean
+    lane mask — so replayed idle-lane and warm-up-proto solves do not
+    pollute the counters."""
 
     @jax.jit
     def infer_first(params, batch_stats, img, imu, ts):
@@ -244,7 +286,7 @@ def make_infer_fn(model, variables, fold_bn: bool = False) -> Callable:
             rngs={"gumbel": jax.random.PRNGKey(0)},
             mutable=["intermediates"],
         )
-        return out, _sum_sown(inter, "incomplete")
+        return out, _sown_per_lane(inter, "incomplete", img.shape[0])
 
     @jax.jit
     def infer_carry(params, batch_stats, img, imu, ts, hc):
@@ -254,7 +296,7 @@ def make_infer_fn(model, variables, fold_bn: bool = False) -> Callable:
             rngs={"gumbel": jax.random.PRNGKey(0)},
             mutable=["intermediates"],
         )
-        return out, _sum_sown(inter, "incomplete")
+        return out, _sown_per_lane(inter, "incomplete", img.shape[0])
 
     held = {}
 
@@ -268,17 +310,33 @@ def make_infer_fn(model, variables, fold_bn: bool = False) -> Callable:
 
     set_variables(variables)
 
-    def infer(img, imu, ts, carry=None):
+    def infer(img, imu, ts, carry=None, active=None):
         if carry is None:
             out, inc = infer_first(held["params"], held["batch_stats"],
                                    img, imu, ts)
         else:
             out, inc = infer_carry(held["params"], held["batch_stats"],
                                    img, imu, ts, carry)
-        infer._incomplete = infer._incomplete + inc   # lazy device-side sum
+        if active is not None:
+            inc = inc * jnp.asarray(active, jnp.int32)
+        infer._inc_total = infer._inc_total + inc.sum()  # lazy device-side
+        if infer._inc_lanes is None or infer._inc_lanes.shape != inc.shape:
+            infer._inc_lanes = inc  # lane layout changed: restart vector
+        else:
+            infer._inc_lanes = infer._inc_lanes + inc
         return out
 
-    infer._incomplete = jnp.zeros((), jnp.int32)
-    infer.incomplete = lambda: int(infer._incomplete)
+    infer._inc_total = jnp.zeros((), jnp.int32)
+    infer._inc_lanes = None
+    infer.incomplete = lambda: int(infer._inc_total)
+    infer.incomplete_by_lane = lambda: (
+        None if infer._inc_lanes is None else jax.device_get(infer._inc_lanes)
+    )
+
+    def reset_incomplete():
+        infer._inc_total = jnp.zeros((), jnp.int32)
+        infer._inc_lanes = None
+
+    infer.reset_incomplete = reset_incomplete
     infer.set_variables = set_variables
     return infer

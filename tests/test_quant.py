@@ -63,6 +63,24 @@ class TestInt8Conv:
         out = _int8_conv(x, k, 1, 1, jnp.float32)
         assert np.all(np.isfinite(np.asarray(out)))
 
+    def test_batch_independence(self):
+        """The dynamic activation scale is per batch element, so a sample's
+        quantised output must not depend on what shares the batch — the
+        session-independence contract of StreamingEngine/eval_batched
+        (ADVICE r2: a whole-batch amax let a large co-batched lane coarsen
+        another session's quantisation)."""
+        rng = np.random.default_rng(1)
+        x0 = jnp.asarray(rng.standard_normal((1, 16, 16, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 8, 16)) * 0.1, jnp.float32)
+        alone = _int8_conv(x0, k, 1, 1, jnp.float32)
+        # co-batch with a 100x-magnitude lane and with a zero lane
+        big = jnp.concatenate([x0, 100.0 * jnp.ones_like(x0)], 0)
+        zero = jnp.concatenate([x0, jnp.zeros_like(x0)], 0)
+        out_big = _int8_conv(big, k, 1, 1, jnp.float32)[:1]
+        out_zero = _int8_conv(zero, k, 1, 1, jnp.float32)[:1]
+        np.testing.assert_array_equal(np.asarray(alone), np.asarray(out_big))
+        np.testing.assert_array_equal(np.asarray(alone), np.asarray(out_zero))
+
 
 class TestInt8Encoder:
     def test_same_param_structure(self):

@@ -123,3 +123,54 @@ class TestStreamingEngine:
         eng = StreamingEngine(model, variables, max_sessions=1)
         with pytest.raises(KeyError):
             eng.step({0: window(71)})
+
+    def test_warmup_compiles_without_trace(self, model_and_vars):
+        """warmup() must not advance any session state or leak truncated-
+        solve counts; a warmed engine serves identically to a cold one."""
+        model, variables = model_and_vars
+        wins = [window(81, 0.0), window(82, 0.5)]
+        ref = solo_run(model_and_vars, wins)
+        eng = StreamingEngine(model, variables, max_sessions=4)
+        sid = eng.open_session()
+        eng.warmup(wins[0])
+        assert eng.incomplete() == 0
+        out = [eng.step({sid: w})[sid] for w in wins]
+        np.testing.assert_allclose(out[0], ref[0], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(out[1], ref[1], rtol=1e-5, atol=1e-6)
+
+
+class TestIncompleteMasking:
+    def test_idle_lanes_do_not_count(self):
+        """With a starved step budget every solve truncates; the engine's
+        counter must only reflect lanes that served a real window — not
+        idle-lane replays or warm-up protos (ADVICE r2)."""
+        cfg = Config(
+            model=ModelConfig(
+                model_type="ode-rnn", img_w=W, img_h=H, seq_len=S,
+                v_f_len=32, i_f_len=16, ode_hidden_dim=32, rnn_num_layers=2,
+                compute_dtype="float32",
+            ),
+            # max_steps=1 cannot integrate a ~0.1 s interval at dt0=1e-4:
+            # every (layer, interval) solve truncates
+            solver=SolverConfig(max_steps=1, dt0=1e-4),
+            data=DataConfig(seq_len=S),
+        )
+        model, variables = init_model(cfg, jax.random.PRNGKey(0))
+        L, intervals = 2, S - 1
+        per_window = L * intervals  # truncated solves per active lane step
+
+        eng = StreamingEngine(model, variables, max_sessions=4)
+        a = eng.open_session()
+        b = eng.open_session()
+        eng.warmup(window(90))
+        assert eng.incomplete() == 0
+
+        eng.step({a: window(91, 0.0), b: window(95, 0.0)})
+        assert eng.incomplete() == 2 * per_window
+        # b idles: its lane replays but must not accumulate
+        eng.step({a: window(92, 0.5)})
+        assert eng.incomplete() == 3 * per_window
+        lanes = eng.incomplete_by_lane()
+        assert lanes[a] == 2 * per_window
+        assert lanes[b] == 1 * per_window
+        assert lanes[2] == 0 and lanes[3] == 0

@@ -158,6 +158,92 @@ class TestTrainStep:
             )
         ) > 0
 
+    def test_freeze_split_matches_full_grad(self):
+        """freeze_encoder skips building the encoder backward (the params
+        leave the differentiated arguments, mirroring torch
+        requires_grad=False). The resulting update must equal the naive
+        path: full grad over all params with the encoder slots zeroed."""
+        cfg = tiny_config(freeze_encoder=True)
+        model, tx, state = setup(cfg)
+        batch = tiny_batch()
+        img, imu, gts, ts = batch
+        w = cfg.train.angle_loss_weight
+
+        # manual reference: differentiate w.r.t. ALL params, zero encoder
+        params0 = jax.tree_util.tree_map(np.asarray, state.params)
+        bs0 = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+        opt0 = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+            state.opt_state)
+        rng0 = np.asarray(state.rng)
+        _, r_drop, r_gumbel = jax.random.split(state.rng, 3)
+        rngs = {"dropout": r_drop, "gumbel": r_gumbel}
+
+        def full_loss(params):
+            (poses, _), _ = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                img, imu, ts, train=True, rngs=rngs,
+                mutable=["batch_stats", "intermediates"],
+            )
+            angle = jnp.mean((poses[..., :3] - gts[..., :3]) ** 2)
+            trans = jnp.mean((poses[..., 3:] - gts[..., 3:]) ** 2)
+            return w * angle + trans
+
+        grads = jax.jit(jax.grad(full_loss))(state.params)
+        # params whose true gradient is zero (e.g. a conv bias directly
+        # before BatchNorm — the mean subtraction kills it exactly) carry
+        # only float noise, which differs between compilations and which
+        # Adam amplifies to +-lr; exclude them from the update comparison
+        noisy = {
+            path for path, g in jax.tree_util.tree_leaves_with_path(grads)
+            if float(jnp.max(jnp.abs(g))) < 1e-7
+        }
+        grads = {**grads, "image_encoder": jax.tree_util.tree_map(
+            jnp.zeros_like, grads["image_encoder"])}
+        updates, _ = tx.update(grads, state.opt_state, state.params)
+        params_ref = optax.apply_updates(state.params, updates)
+        params_ref = jax.tree_util.tree_map(np.asarray, params_ref)
+
+        # the real (donating) step on an identical reconstructed state
+        from ode_vio_tpu.training.loop import TrainState
+        state2 = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=jax.tree_util.tree_map(jnp.asarray, params0),
+            batch_stats=jax.tree_util.tree_map(jnp.asarray, bs0),
+            opt_state=jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x) if hasattr(x, "shape") else x, opt0),
+            rng=jnp.asarray(rng0),
+        )
+        step = make_train_step(model, tx, cfg)
+        state2, _ = step(state2, *batch)
+
+        flat_ref = jax.tree_util.tree_leaves_with_path(params_ref)
+        flat_got = dict(jax.tree_util.tree_leaves_with_path(
+            jax.tree_util.tree_map(np.asarray, state2.params)))
+        compared = 0
+        for path, ref in flat_ref:
+            if path in noisy:
+                continue
+            np.testing.assert_allclose(
+                flat_got[path], ref, rtol=1e-5, atol=1e-7,
+                err_msg=str(path))
+            compared += 1
+        assert compared >= 10  # the skip must not hollow out the test
+
+    def test_freeze_updates_encoder_batch_stats(self):
+        """torch parity: requires_grad=False does not stop BatchNorm
+        running-statistics updates in train mode — neither must we."""
+        cfg = tiny_config(freeze_encoder=True)
+        model, tx, state = setup(cfg)
+        before = jax.tree_util.tree_map(
+            np.asarray, state.batch_stats["image_encoder"])
+        step = make_train_step(model, tx, cfg)
+        state, _ = step(state, *tiny_batch())
+        after = state.batch_stats["image_encoder"]
+        changed = jax.tree_util.tree_map(
+            lambda a, b: bool((np.asarray(b) != a).any()), before, after)
+        assert any(jax.tree_util.tree_leaves(changed))
+
     def test_grad_accumulation_defers_update(self):
         cfg = tiny_config(grad_accumulation_steps=2)
         model, tx, state = setup(cfg)
