@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--print_frequency", type=int, default=10)
+    p.add_argument("--ckpt_every", type=int, default=2,
+                   help="save a checkpoint every N epochs "
+                        "(train_model.py:223)")
 
     # sequences
     p.add_argument("--train_seq", type=str, nargs="+",
@@ -232,6 +235,7 @@ def config_from_args(args) -> Config:
             freeze_encoder=args.freeze_encoder,
             seed=args.seed,
             print_frequency=args.print_frequency,
+            ckpt_every=args.ckpt_every,
         ),
         mesh=MeshConfig(data_axis=args.mesh_data, model_axis=args.mesh_model),
     )

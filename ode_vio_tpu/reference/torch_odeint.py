@@ -131,3 +131,89 @@ def odeint_dopri5_at(func, y0, ts, **kw):
         acc_total += acc
         rej_total += rej
     return torch.stack(out), acc_total, rej_total
+
+
+def odeint_rk(
+    method: str,
+    func,
+    y0: torch.Tensor,
+    t0: float,
+    t1: float,
+    *,
+    rtol: float = 1e-2,
+    atol: float = 1e-6,
+    dt0: float = 1e-4,
+    max_steps: int = 64,
+    safety: float = 0.9,
+    factor_min: float = 0.2,
+    factor_max: float = 10.0,
+):
+    """Generic adaptive embedded-RK integrator for any tableau in the
+    registry (heun, bosh3, tsit5, dopri5, ...), same controller semantics
+    as :func:`odeint_dopri5`.
+
+    The Butcher coefficients are imported from
+    ``ode_vio_tpu.ops.solvers.tableaus`` — they are published constants
+    (Heun, Bogacki–Shampine 1989, Tsitouras 2011, Dormand–Prince 1980)
+    shared by torchdiffeq/torchode and our core, so importing avoids
+    transcription errors while the STEP/CONTROLLER logic, the part a
+    parity golden actually guards, stays independently implemented in
+    torch. (torchdiffeq/torchode themselves cannot be installed in this
+    image — no network, pip install disallowed — which is why these
+    replicas exist; recorded in tests/test_step_goldens.py.)
+    """
+    from ode_vio_tpu.ops.solvers.tableaus import get_tableau
+
+    tab = get_tableau(method)
+    c = [float(x) for x in tab.c]
+    a_rows = [[float(x) for x in row] for row in tab.a]
+    b_sol = [float(x) for x in tab.b_sol]
+    b_err = [float(x) for x in tab.b_err]
+    n_stages = len(b_sol)
+    fsal = bool(abs(c[-1] - 1.0) < 1e-12 and
+                all(abs(ai - bi) < 1e-12
+                    for ai, bi in zip(a_rows[-1], b_sol[:-1])))
+
+    t = torch.as_tensor(t0, dtype=y0.dtype)
+    t1 = torch.as_tensor(t1, dtype=y0.dtype)
+    dt = torch.as_tensor(dt0, dtype=y0.dtype)
+    y = y0.clone()
+    f = func(t, y)
+    accepted = rejected = 0
+
+    while float(t1 - t) > 0.0 and accepted + rejected < max_steps:
+        remaining = torch.clamp(t1 - t, min=0.0)
+        clamped = bool(dt >= remaining)
+        dt_c = remaining if clamped else dt
+
+        ks = [f]
+        for i in range(1, n_stages):
+            yi = y.clone()
+            for aij, k in zip(a_rows[i], ks):
+                if aij != 0.0:
+                    yi = yi + dt_c * aij * k
+            ks.append(func(t + c[i] * dt_c, yi))
+        y1 = y.clone()
+        for b, k in zip(b_sol, ks):
+            if b != 0.0:
+                y1 = y1 + dt_c * b * k
+        err = torch.zeros_like(y)
+        for b, k in zip(b_err, ks):
+            if b != 0.0:
+                err = err + dt_c * b * k
+
+        ratio = _rms_ratio(err, y, y1, rtol, atol)
+        accept = bool(ratio <= 1.0)
+        safe = torch.clamp(ratio, min=1e-10)
+        factor = torch.clamp(
+            safety * safe ** (-1.0 / tab.order), factor_min, factor_max
+        )
+        dt = torch.clamp(dt_c * factor, min=torch.finfo(y0.dtype).tiny)
+        if accept:
+            t = t1.clone() if clamped else t + dt_c
+            y = y1
+            f = ks[-1] if fsal else func(t, y)
+            accepted += 1
+        else:
+            rejected += 1
+    return y, dt, accepted, rejected

@@ -44,6 +44,11 @@ class CheckpointManager:
         )
         return self._ckptr.restore(self._path(name), abstract)
 
+    def restore_raw(self, name: str) -> Any:
+        """Restore as saved, without a target structure (inspection /
+        cross-run comparison)."""
+        return self._ckptr.restore(self._path(name))
+
     def metadata(self, name: str) -> Optional[dict]:
         p = self.directory / f"{name}.meta.json"
         return json.loads(p.read_text()) if p.exists() else None

@@ -1,0 +1,105 @@
+"""Device-only multi-session serving scaling probe (VERDICT r2 next #8).
+
+Round 2 measured multi-session serving THROUGH the HTTP tunnel, where the
+~16 MB/lane host->device transfer dominated (BENCH.md round 2) and the
+claimed near-N-fold scaling on real hardware was an extrapolation. This
+probe isolates the DEVICE step: synthetic windows live on device, the
+streaming step (carried state fed back) runs inside one jit under a
+lax.scan, and the slope method (W2-W1 iterations) removes dispatch and
+transfer entirely.
+
+Run on the TPU: ``python scripts/probe_serving.py [--sessions 1 4 8]``.
+Prints one JSON line per lane count; recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+
+try:
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sessions", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args()
+
+    from ode_vio_tpu.config import flagship_config
+    from ode_vio_tpu.models.deepvio import init_model
+    from ode_vio_tpu.models.fold import fold_batchnorm
+
+    cfg = flagship_config()
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), batch_size=1)
+    ev = fold_batchnorm(variables)
+    S = cfg.model.seq_len
+    m = cfg.model
+
+    results = []
+    base_ms = None
+    for n in args.sessions:
+        rng = np.random.default_rng(n)
+        img = jnp.asarray(
+            rng.random((n, S, m.img_h, m.img_w, 3), np.float32) - 0.5)
+        imu = jnp.asarray(rng.standard_normal((n, 10 * (S - 1) + 1, 6)),
+                          jnp.float32)
+        ts = jnp.asarray(np.cumsum(
+            rng.random((n, S)).astype(np.float32) * 0.05 + 0.08, 1))
+        carry0 = jnp.zeros((m.rnn_num_layers, n, m.f_len), jnp.float32)
+
+        def make(W):
+            @jax.jit
+            def run(img, imu, ts, carry):
+                def body(c, w):
+                    poses, c2 = model.apply(
+                        ev, img + w * 1e-3, imu, ts + w * 0.1, hc=c,
+                        train=False, rngs={"gumbel": jax.random.PRNGKey(0)},
+                    )
+                    return c2, jnp.sum(poses)
+                c, sums = jax.lax.scan(
+                    body, carry, jnp.arange(W, dtype=jnp.float32))
+                return jnp.sum(sums)
+            return run
+
+        W1, W2 = 2, 2 + args.iters
+        r1, r2 = make(W1), make(W2)
+        r1(img, imu, ts, carry0).block_until_ready()
+        r2(img, imu, ts, carry0).block_until_ready()
+        samples = []
+        for rep in range(3):
+            t0 = time.perf_counter()
+            r1(img + 0.1 * rep, imu, ts, carry0).block_until_ready()
+            ta = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            r2(img + 0.2 * rep, imu, ts, carry0).block_until_ready()
+            tb = time.perf_counter() - t0
+            samples.append((tb - ta) / (W2 - W1))
+        samples.sort()
+        step_ms = samples[1] * 1e3
+        if base_ms is None:
+            base_ms = step_ms
+        results.append({
+            "sessions": n,
+            "device_step_ms": round(step_ms, 3),
+            "step_vs_1_session": round(step_ms / base_ms, 3),
+            "aggregate_speedup": round(n * base_ms / step_ms, 3),
+            "frames_per_sec": round(n * (S - 1) / (step_ms / 1e3), 1),
+        })
+        print(json.dumps(results[-1]), flush=True)
+
+
+if __name__ == "__main__":
+    main()

