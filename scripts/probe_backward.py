@@ -60,15 +60,19 @@ def slope_time(fn, args, iters=8, reps=3):
         return run
 
     r1, r2 = make(2), make(2 + iters)
-    r1(*args).block_until_ready()
-    r2(*args).block_until_ready()
+    # time float(...) — an actual value fetch. Through the axon relay
+    # block_until_ready() can return without waiting (async futures);
+    # fetching the f32 scalar forces completion, and the constant ~40 ms
+    # tunnel RTT cancels in the K2-vs-K(2+iters) slope.
+    float(r1(*args))
+    float(r2(*args))
     samples = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        r1(*args).block_until_ready()
+        float(r1(*args))
         ta = time.perf_counter() - t0
         t0 = time.perf_counter()
-        r2(*args).block_until_ready()
+        float(r2(*args))
         tb = time.perf_counter() - t0
         samples.append((tb - ta) / iters)
     samples.sort()
