@@ -35,7 +35,11 @@ F, H = 768, 1024
 SIZES = [(F, H), (H, H), (H, F)]  # ode_func_sizes(768, 1024, 2)
 
 
-def slope_time(fn, args, iters=16, reps=3):
+def slope_time(fn, args, k1=2048, k2=16384, reps=3):
+    """Per-iteration time via wall(K=k2) - wall(K=k1). The iteration here
+    is MICROSECOND-scale, so the K gap must be large enough that the
+    signal (tens of ms) clears the tunnel's RTT jitter (~1-3 ms)."""
+
     def make(K):
         @jax.jit
         def run(*a):
@@ -46,7 +50,7 @@ def slope_time(fn, args, iters=16, reps=3):
             return jnp.sum(xf)
         return run
 
-    r1, r2 = make(2), make(2 + iters)
+    r1, r2 = make(k1), make(k2)
     # fetch the scalar (not block_until_ready: through the axon relay it
     # can return without waiting) — constant RTT cancels in the slope
     float(r1(*args))
@@ -59,9 +63,9 @@ def slope_time(fn, args, iters=16, reps=3):
         t0 = time.perf_counter()
         float(r2(*args))
         tb = time.perf_counter() - t0
-        samples.append((tb - ta) / iters)
+        samples.append((tb - ta) / (k2 - k1))
     samples.sort()
-    return samples[1]
+    return samples[len(samples) // 2]
 
 
 def main():
@@ -73,7 +77,7 @@ def main():
     ]
     gflop_per_row = 2.0 * sum(a * b for a, b in SIZES) / 1e9
 
-    for rows in (96, 128, 192, 256, 512):
+    for rows in (96, 128, 192, 384):
         for dt in (jnp.float32, jnp.bfloat16):
             x = jnp.asarray(rng.standard_normal((rows, F)), dt)
             params = [(jnp.asarray(W, dt), jnp.asarray(b, dt)) for W, b in Ws]
