@@ -45,16 +45,23 @@ ITERS = 10
 
 
 def main() -> None:
-    from ode_vio_tpu.config import flagship_config
-    from ode_vio_tpu.models.deepvio import init_model
+    import dataclasses
 
-    from ode_vio_tpu.models.fold import fold_batchnorm
+    from ode_vio_tpu.config import flagship_config
+    from ode_vio_tpu.models.deepvio import create_model, init_model
+    from ode_vio_tpu.models.fold import fold_batchnorm_into_bias
 
     cfg = flagship_config()
     model, variables = init_model(cfg, jax.random.PRNGKey(0), batch_size=1)
     # eval path ships with the frozen BN statistics folded into the conv
-    # weights (exact; models/fold.py) — same configuration as cli/test.py
-    eval_variables = fold_batchnorm(variables)
+    # weights+bias and the BN ops dropped from the graph (exact;
+    # models/fold.py) — same configuration as cli/test.py via make_infer_fn
+    eval_model = create_model(
+        dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, skip_bn=True)
+        )
+    )
+    eval_variables = fold_batchnorm_into_bias(variables)
 
     S = cfg.model.seq_len
     rng = np.random.default_rng(0)
@@ -82,7 +89,7 @@ def main() -> None:
         @jax.jit
         def run(img, imu, ts, carry):
             def body(c, w):
-                poses, c2 = model.apply(
+                poses, c2 = eval_model.apply(
                     eval_variables, img + w * 1e-3, imu, ts + w * 0.1,
                     hc=c, train=False,
                     rngs={"gumbel": jax.random.PRNGKey(0)},

@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_fold_bn", action="store_true",
                    help="disable inference-time BatchNorm folding "
                         "(models/fold.py; folding is exact at eval)")
+    p.add_argument("--exact_dropout", action="store_true",
+                   help="draw encoder dropout masks from threefry instead "
+                        "of the TPU hardware rng-bit-generator (same "
+                        "Bernoulli semantics; ~2x slower mask generation, "
+                        "bit-reproducible against threefry-keyed runs)")
     p.add_argument("--use_pallas", action="store_true",
                    help="fused Pallas adaptive-ODE kernel on the inference path")
     p.add_argument("--debug_nans", action="store_true",
@@ -200,6 +205,7 @@ def config_from_args(args) -> Config:
             compute_dtype=args.compute_dtype,
             use_pallas=args.use_pallas,
             encoder_int8=args.encoder_int8,
+            fast_dropout=not args.exact_dropout,
         ),
         solver=SolverConfig(
             method=args.ode_solver, rtol=args.ode_rtol, atol=args.ode_atol,

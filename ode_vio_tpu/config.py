@@ -125,6 +125,21 @@ class ModelConfig:
     # TPU numerics: encoders run in `compute_dtype`, solver state in float32.
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # Train-time dropout in the FlowNet trunk draws its mask bits from the
+    # XLA hardware rng-bit-generator ('rbg') instead of the threefry
+    # software hash. The trunk's ~1.5e9 mask elements per flagship step
+    # make mask generation the single largest train-mode cost (measured
+    # +49 ms of the 131 ms step with threefry, +27 ms with rbg; BENCH.md
+    # round 3). Keep probability and scaling are exact — only the bit
+    # stream differs. Disable for bit-exact threefry reproducibility.
+    fast_dropout: bool = True
+    # INTERNAL (set by the bias-folding eval path, models/fold.py): drop
+    # the BatchNorm ops from the graph entirely; the conv layers carry the
+    # folded bias instead. The identity-valued BN that plain folding
+    # leaves behind still costs a measured ~16 ms/step of unfused
+    # elementwise traffic at flagship dims — removing the ops is the only
+    # way XLA stops scheduling them.
+    skip_bn: bool = False
     # Exact space-to-depth rewrite of the narrow-channel stride-2 encoder
     # convs (identical math and parameters). Measured on v5e: XLA's native
     # strided conv already beats the explicit rewrite (14.1 vs 20.9 ms on

@@ -71,6 +71,35 @@ def _space_to_depth_conv(x, kernel, dtype):
     )
 
 
+def fast_dropout(x, rate: float, key, salt: int):
+    """TPU-tuned dropout: identical Bernoulli(1-rate) keep-mask semantics
+    to ``nn.Dropout``, but the mask bits come from the XLA hardware
+    rng-bit-generator ('rbg') instead of the threefry software hash.
+
+    At flagship dims the FlowNet trunk draws ~1.5e9 mask elements per
+    train step; threefry mask generation measured +49 ms of the 131 ms
+    step where the rbg path costs +27 ms (BENCH.md round 3 — an 8-bit
+    threshold variant was also measured and is SLOWER: the u32->u8
+    bitcast breaks XLA's fusion). Keep probability and the 1/(1-rate)
+    expectation-preserving scale are exact; only the bit stream differs
+    from the threefry path.
+
+    ``key`` is the dropout PRNG key from ``make_rng`` (raw uint32[2] or
+    typed); ``salt`` decorrelates call sites sharing a key.
+    """
+    if rate <= 0.0:
+        return x
+    data = key if not jnp.issubdtype(key.dtype, jax.dtypes.prng_key) \
+        else jax.random.key_data(key)
+    rbg = jax.random.wrap_key_data(
+        jnp.concatenate([data, data]).astype(jnp.uint32), impl="rbg"
+    )
+    keep = jax.random.bernoulli(
+        jax.random.fold_in(rbg, salt), 1.0 - float(rate), x.shape
+    )
+    return x * keep.astype(x.dtype) * jnp.asarray(1.0 / (1.0 - rate), x.dtype)
+
+
 def _int8_conv(x, kernel, stride, pad, out_dtype):
     """Quantised convolution: per-output-channel symmetric int8 weights,
     per-tensor dynamic int8 activations, int32 MXU accumulation.
@@ -120,10 +149,27 @@ class ConvBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     s2d: bool = False
     int8: bool = False
+    # graph-level BN removal for bias-folded eval variables
+    # (fold_batchnorm_into_bias): conv carries the folded bias, no BN ops
+    skip_bn: bool = False
+    # rbg uint8 dropout masks (fast_dropout) instead of nn.Dropout
+    fast_drop: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         pad = (self.kernel - 1) // 2
+        if self.skip_bn:
+            # bias-folded eval path: plain conv (with bias) + LeakyReLU.
+            # int8/s2d variants deliberately not combined (both ship off).
+            x = nn.Conv(
+                self.features, (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=((pad, pad), (pad, pad)), use_bias=True,
+                dtype=self.dtype, kernel_init=KAIMING, name="conv",
+            )(x)
+            x = nn.leaky_relu(x.astype(self.dtype), 0.1)
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            return x
         if self.int8 and not train:
             # same param structure as nn.Conv(name="conv", use_bias=False)
             kernel = self.param(
@@ -161,15 +207,27 @@ class ConvBlock(nn.Module):
                 kernel_init=KAIMING,
                 name="conv",
             )(x)
+        # Normalize in the compute dtype: flax computes the batch statistics
+        # (and keeps the running stats) in float32 regardless, but applying
+        # the per-channel affine in f32 forces an f32 materialisation of the
+        # full activation tensor between conv and relu — measured at ~25 ms
+        # of pure HBM traffic per flagship step (~1.5B activations), and in
+        # train mode another ~9 ms on the stats pass (BENCH.md round 3).
+        # In bf16 the affine fuses into the conv epilogue. Precision matches
+        # the shipped eval path, which folds the same affine into bf16 conv
+        # weights (models/fold.py).
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,  # = 1 - torch momentum 0.1
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=self.dtype,
             name="bn",
         )(x)
         x = nn.leaky_relu(x.astype(self.dtype), 0.1)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        if self.fast_drop and train and self.dropout > 0.0:
+            x = fast_dropout(x, self.dropout, self.make_rng("dropout"), 0)
+        else:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
 
 
@@ -208,6 +266,8 @@ class ImageEncoder(nn.Module):
             s2d = self.cfg.encoder_s2d and s == 2 and x.shape[-1] <= 64
             x = ConvBlock(f, k, s, d, dtype=dtype, s2d=s2d,
                           int8=self.cfg.encoder_int8,
+                          skip_bn=self.cfg.skip_bn,
+                          fast_drop=self.cfg.fast_dropout,
                           name=f"block{i}")(x, train)
         x = x.reshape(B, S - 1, -1)
         x = nn.Dense(self.cfg.v_f_len, dtype=dtype, kernel_init=KAIMING,
@@ -239,8 +299,10 @@ class InertialEncoder(nn.Module):
         for i, f in enumerate((64, 128, 256)):
             x = nn.Conv(f, (3,), padding=((1, 1),), use_bias=True,
                         dtype=dtype, kernel_init=KAIMING, name=f"conv{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=jnp.float32, name=f"bn{i}")(x)
+            if not self.cfg.skip_bn:
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, dtype=jnp.float32,
+                                 name=f"bn{i}")(x)
             x = nn.leaky_relu(x.astype(dtype), 0.1)
             x = nn.Dropout(self.cfg.imu_dropout, deterministic=not train)(x)
 

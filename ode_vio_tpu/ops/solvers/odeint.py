@@ -67,6 +67,17 @@ class SolverOptions:
     # ceil(max_steps/exit_chunk) chunks, each wrapped in a scalar-predicate
     # lax.cond that skips the whole chunk once EVERY lane has converged.
     exit_chunk: int = 4
+    # Rematerialise each chunk under reverse-mode AD. Without this the
+    # forward pass stacks every RK-stage intermediate for the FULL step
+    # budget (scan residuals are written even for chunks the early-exit
+    # cond skips — the identity branch zero-fills its residual slots), so
+    # the backward cost scales with max_steps instead of actual steps:
+    # measured ~25 ms of the flagship B=32 train step at budget 16 where
+    # the warm-started solves take ~2-3 steps (BENCH.md round 3). With
+    # remat, residuals collapse to the chunk-entry carry and the backward
+    # replays only chunks whose forward actually ran. Exact (same values,
+    # deterministic recompute); costs one extra forward of taken chunks.
+    remat_chunks: bool = True
 
     @classmethod
     def from_config(cls, cfg, train: bool = False) -> "SolverOptions":
@@ -401,13 +412,14 @@ def solve_ivp_batched_dt(
         )
         n_chunks = -(-opts.max_steps // chunk)
 
+        def run_chunk(ss: _State) -> _State:
+            return lax.scan(inner, ss, None, length=chunk)[0]
+
+        if opts.remat_chunks:
+            run_chunk = jax.checkpoint(run_chunk)
+
         def chunk_body(s: _State, _):
-            s2 = lax.cond(
-                jnp.any(active(s)),
-                lambda ss: lax.scan(inner, ss, None, length=chunk)[0],
-                lambda ss: ss,
-                s,
-            )
+            s2 = lax.cond(jnp.any(active(s)), run_chunk, lambda ss: ss, s)
             return s2, None
 
         final, _ = lax.scan(chunk_body, state, None, length=n_chunks)

@@ -263,8 +263,13 @@ def make_infer_fn(model, variables, fold_bn: bool = False) -> Callable:
     cold-start (no carry) and carried variants jit-compiled once.
 
     ``fold_bn=True`` bakes the frozen BatchNorm statistics into the conv
-    weights ahead of time (models/fold.py) — exact at eval, removes the
-    normalisation work from the hot path.
+    weights AND bias ahead of time and rebuilds the model with
+    ``skip_bn=True`` so the BatchNorm ops leave the graph entirely
+    (models/fold.py::fold_batchnorm_into_bias) — exact at eval; the
+    identity affine that value-level folding leaves behind measured
+    ~16 ms/step at flagship dims (BENCH.md round 3). Falls back to the
+    value-level fold when the encoder runs a non-plain conv path
+    (int8 / s2d), which the BN-free ConvBlock deliberately doesn't carry.
 
     ``infer.set_variables(new_variables)`` swaps the weights without
     re-jitting (params are jit arguments, not constants), so a per-epoch
@@ -277,6 +282,17 @@ def make_infer_fn(model, variables, fold_bn: bool = False) -> Callable:
     sessions onto lanes (serving/engine.py) pass ``active`` — a boolean
     lane mask — so replayed idle-lane and warm-up-proto solves do not
     pollute the counters."""
+    import dataclasses as _dc
+
+    strip_bn = fold_bn and not (
+        model.cfg.encoder_int8 or model.cfg.encoder_s2d
+        or model.cfg.skip_bn
+    )
+    if strip_bn:
+        model = type(model)(
+            cfg=_dc.replace(model.cfg, skip_bn=True),
+            solver=model.solver, cde_solver=model.cde_solver,
+        )
 
     @jax.jit
     def infer_first(params, batch_stats, img, imu, ts):
@@ -301,7 +317,11 @@ def make_infer_fn(model, variables, fold_bn: bool = False) -> Callable:
     held = {}
 
     def set_variables(v):
-        if fold_bn:
+        if strip_bn:
+            from ode_vio_tpu.models.fold import fold_batchnorm_into_bias
+
+            v = fold_batchnorm_into_bias(v)
+        elif fold_bn:
             from ode_vio_tpu.models.fold import fold_batchnorm
 
             v = fold_batchnorm(v)

@@ -115,3 +115,60 @@ class TestFoldBatchnorm:
     def test_noop_without_batch_stats(self):
         v = {"params": {"dense": {"kernel": jnp.ones((2, 2))}}}
         assert fold_batchnorm(v) is v or fold_batchnorm(v) == v
+
+
+class TestFoldIntoBias:
+    """Bias-fold + BN-free graph (ModelConfig.skip_bn): the eval path that
+    removes the BatchNorm ops entirely instead of leaving an identity
+    affine (measured ~16 ms/step of dead elementwise traffic at flagship
+    dims, BENCH.md round 3)."""
+
+    def _models(self):
+        import dataclasses
+
+        from ode_vio_tpu.models.deepvio import create_model
+        from ode_vio_tpu.models.fold import fold_batchnorm_into_bias
+
+        cfg = small_cfg()
+        model, variables = init_model(cfg, jax.random.PRNGKey(0))
+        variables = randomize_stats(variables)
+        skim = create_model(
+            dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, skip_bn=True)
+            )
+        )
+        return model, skim, variables, fold_batchnorm_into_bias(variables)
+
+    def test_matches_value_fold_bitwise(self):
+        """Same arithmetic as the value-level fold — the bias add lands at
+        the identical point in the graph, so outputs agree bit-for-bit."""
+        model, skim, variables, folded = self._models()
+        img, imu, ts = batch()
+        ref, _ = model.apply(fold_batchnorm(variables), img, imu, ts,
+                             train=False, rngs=RNGS)
+        got, _ = skim.apply(folded, img, imu, ts, train=False, rngs=RNGS)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_bn_entries_removed(self):
+        _, _, variables, folded = self._models()
+        leaves = [
+            "/".join(str(getattr(p, "key", p)) for p in path)
+            for path, _ in jax.tree_util.tree_flatten_with_path(folded)[0]
+        ]
+        assert not any("/bn" in p or p.endswith("bn") for p in leaves), leaves
+        blk = folded["params"]["image_encoder"]["block0"]["conv"]
+        assert "bias" in blk  # ConvBlock conv gains the folded shift
+
+    def test_infer_fn_uses_bias_fold(self):
+        """make_infer_fn(fold_bn=True) rebuilds the model BN-free and
+        matches the unfolded eval output within float re-association."""
+        from ode_vio_tpu.training.loop import make_infer_fn
+
+        model, _, variables, _ = self._models()
+        img, imu, ts = batch()
+        ref, _ = model.apply(variables, img, imu, ts, train=False, rngs=RNGS)
+        infer = make_infer_fn(model, variables, fold_bn=True)
+        got, _ = infer(img, imu, ts)
+        scale = np.max(np.abs(np.asarray(ref)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4 * max(scale, 1.0))
