@@ -103,18 +103,21 @@ def main() -> None:
 
     W1, W2 = 2, 2 + ITERS
     run1, run2 = make_stream(W1), make_stream(W2)
+    # timing forces a VALUE fetch (float(...)): through the tunneled TPU,
+    # block_until_ready can return before execution finishes (async-future
+    # relay semantics; see BENCH.md round-3 gotcha)
     t_compile = time.perf_counter()
-    run1(img, imu, ts, carry0).block_until_ready()
-    run2(img, imu, ts, carry0).block_until_ready()
+    float(run1(img, imu, ts, carry0))
+    float(run2(img, imu, ts, carry0))
     compile_s = time.perf_counter() - t_compile
 
     samples = []
     for rep in range(3):
         t0 = time.perf_counter()
-        run1(img + 0.1 * rep, imu, ts, carry0).block_until_ready()
+        float(run1(img + 0.1 * rep, imu, ts, carry0))
         ta = time.perf_counter() - t0
         t0 = time.perf_counter()
-        run2(img + 0.2 * rep, imu, ts, carry0).block_until_ready()
+        float(run2(img + 0.2 * rep, imu, ts, carry0))
         tb = time.perf_counter() - t0
         samples.append((tb - ta) / (W2 - W1))
     samples.sort()
@@ -170,17 +173,29 @@ def main() -> None:
             rng.standard_normal((TB, S - 1, 6)) * 0.1, jnp.float32
         )
         timg, timu, tts = img[:TB], imu[:TB], ts[:TB]
-        state, m = step(state, timg, timu, gts, tts)   # compile
-        jax.block_until_ready(m["loss"])
-        t0 = time.perf_counter()
-        TRAIN_ITERS = 5
-        for _ in range(TRAIN_ITERS):
-            state, m = step(state, timg, timu, gts, tts)
-        jax.block_until_ready(m["loss"])
-        train_elapsed = time.perf_counter() - t0
-        train_fps = TB * (S - 1) * TRAIN_ITERS / train_elapsed
+
+        def run_train(state, k):
+            for _ in range(k):
+                state, m = step(state, timg, timu, gts, tts)
+            float(m["loss"])  # value fetch: relay block_until_ready lies
+            return state
+
+        state = run_train(state, 1)  # compile + warm
+        K1, K2 = 2, 6
+        tsamples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state = run_train(state, K1)
+            ta = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            state = run_train(state, K2)
+            tb = time.perf_counter() - t0
+            tsamples.append((tb - ta) / (K2 - K1))
+        tsamples.sort()
+        train_ms = tsamples[1] * 1e3
+        train_fps = TB * (S - 1) / tsamples[1]
         print(
-            f"train_step={train_elapsed / TRAIN_ITERS * 1e3:.1f}ms "
+            f"train_step={train_ms:.1f}ms "
             f"train_frames_per_sec={train_fps:.0f}",
             file=sys.stderr,
         )

@@ -208,3 +208,96 @@ def fused_ode_solve(
 
     y1, dt_fin, acc, rej, inc = out
     return y1[:N], dt_fin[:N, 0], acc[:N, 0], rej[:N, 0], inc[:N, 0]
+
+
+# ---------------------------------------------------------------------------
+# Fused dropout: hardware PRNG + mask + scale in one VMEM pass
+# ---------------------------------------------------------------------------
+
+
+def _dropout_kernel(seed_ref, x_ref, o_ref, *, thresh: int, scale: float):
+    # distinct per-tile stream: large-odd-multiplier hash of the grid index
+    pltpu.prng_seed(
+        seed_ref[0, 0] + pl.program_id(0) * jnp.int32(0x3779B99)
+    )
+    bits = pltpu.bitcast(pltpu.prng_random_bits(x_ref.shape), jnp.uint32)
+    mask = (bits >= jnp.uint32(thresh)).astype(x_ref.dtype)
+    o_ref[:] = x_ref[:] * mask * jnp.asarray(scale, x_ref.dtype)
+
+
+def _dropout_run(x2d, seed, thresh: int, scale: float,
+                 interpret: bool = False):
+    M, C = x2d.shape
+    TR = M
+    for cand in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if M % cand == 0:
+            TR = cand
+            break
+    kern = functools.partial(_dropout_kernel, thresh=thresh, scale=scale)
+    return pl.pallas_call(
+        kern,
+        grid=(M // TR,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((TR, C), lambda i: (i, 0),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TR, C), lambda i: (i, 0),
+                               memory_space=pl.ANY if interpret
+                               else pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, C), x2d.dtype),
+        interpret=interpret,
+    )(seed.reshape(1, 1), x2d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def pallas_dropout(x, seed, rate: float, interpret: bool = False):
+    """Dropout as ONE fused Pallas pass: the TPU core's hardware PRNG
+    generates the mask bits directly in VMEM/registers — no XLA rng op,
+    no separate mask tensor. Bernoulli(1-rate) keep semantics with exact
+    1/(1-rate) scaling (drop iff u32 < round(rate * 2^32)).
+
+    The backward pass REGENERATES the identical mask from the saved seed
+    (hardware PRNG is deterministic per seed), so the mask never exists
+    in HBM in either direction — O(1) residual memory, one fused pass
+    each way. ``seed`` is an int32 scalar array; gradients don't flow to
+    it.
+
+    ``x`` is flattened to (rows, last_dim) tiles; the last dim must be a
+    multiple of 128 (trunk channel counts 64.. are handled by the caller
+    flattening trailing dims together).
+    """
+    return _pallas_dropout_fwd(x, seed, rate, interpret)[0]
+
+
+def _pallas_dropout_fwd(x, seed, rate: float, interpret: bool):
+    thresh = min(int(round(rate * 4294967296.0)), 4294967295)
+    scale = 1.0 / (1.0 - rate)
+    shape = x.shape
+    C = shape[-1]
+    # fold trailing dims until the row-minor width is a lane multiple
+    flat = x.reshape(-1, C)
+    if C % 128:
+        flat = x.reshape(-1, 128) if x.size % 128 == 0 else x.reshape(1, -1)
+    y = _dropout_run(flat, seed, thresh, scale, interpret)
+    return y.reshape(shape), seed
+
+
+def _pallas_dropout_bwd(rate: float, interpret: bool, seed, g):
+    thresh = min(int(round(rate * 4294967296.0)), 4294967295)
+    scale = 1.0 / (1.0 - rate)
+    shape = g.shape
+    C = shape[-1]
+    flat = g.reshape(-1, C)
+    if C % 128:
+        flat = g.reshape(-1, 128) if g.size % 128 == 0 else g.reshape(1, -1)
+    dx = _dropout_run(flat, seed, thresh, scale, interpret).reshape(shape)
+    import numpy as _np
+
+    from jax import dtypes as _dtypes
+
+    return dx, _np.zeros(seed.shape, _dtypes.float0)
+
+
+pallas_dropout.defvjp(_pallas_dropout_fwd, _pallas_dropout_bwd)

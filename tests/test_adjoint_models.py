@@ -65,8 +65,12 @@ def test_adjoint_grads_match_bounded(model_type, subtree):
     leaves_b = jax.tree_util.tree_leaves(g_b["pose_net"][subtree])
     leaves_a = jax.tree_util.tree_leaves(g_a["pose_net"][subtree])
     for a, b in zip(leaves_a, leaves_b):
+        # adjoint integrates the backward ODE; near-zero entries of the
+        # discretize-then-optimize gradient (|g| ~ 1e-3 in a +-26 range)
+        # can differ by ~100% relatively, so the absolute floor must
+        # cover them (2/252 elements at atol 1e-5 under some mask draws)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-2, atol=1e-5)
+                                   rtol=5e-2, atol=5e-3)
     # encoder gradients flow through both modes too
     enc_norm = sum(
         float(jnp.sum(x ** 2))
