@@ -267,6 +267,19 @@ def pallas_dropout(x, seed, rate: float, interpret: bool = False):
     ``x`` is flattened to (rows, last_dim) tiles; the last dim must be a
     multiple of 128 (trunk channel counts 64.. are handled by the caller
     flattening trailing dims together).
+
+    STATUS — measured, NOT wired into the encoders
+    (scripts/probe_pallas_dropout.py on TPU v5e, flagship trunk B=32):
+    correctness is exact (keep fraction, scale, deterministic fwd/bwd
+    mask identity) but the standalone pallas_call costs 80.6 ms vs
+    56.2 ms for the shipping rbg path — as a separate kernel it re-reads
+    and re-writes every activation tensor from HBM, while XLA fuses the
+    rbg mask-and-multiply into the adjacent BN/LeakyReLU elementwise
+    pass whose traffic is already paid. Beating rbg would require fusing
+    conv+BN+relu+dropout into one Pallas kernel, and the convs are
+    already at 85-90 % of the MXU roofline under XLA (BENCH.md). Kept as
+    a correct, seed-replayable fused-dropout building block (e.g. for
+    mask application where no neighbouring elementwise pass exists).
     """
     return _pallas_dropout_fwd(x, seed, rate, interpret)[0]
 
