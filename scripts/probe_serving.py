@@ -38,13 +38,21 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
 
+    import dataclasses
+
     from ode_vio_tpu.config import flagship_config
-    from ode_vio_tpu.models.deepvio import init_model
-    from ode_vio_tpu.models.fold import fold_batchnorm
+    from ode_vio_tpu.models.deepvio import create_model, init_model
+    from ode_vio_tpu.models.fold import fold_batchnorm_into_bias
 
     cfg = flagship_config()
-    model, variables = init_model(cfg, jax.random.PRNGKey(0), batch_size=1)
-    ev = fold_batchnorm(variables)
+    _, variables = init_model(cfg, jax.random.PRNGKey(0), batch_size=1)
+    # production eval graph: BN-free bias fold (same as make_infer_fn)
+    model = create_model(
+        dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, skip_bn=True)
+        )
+    )
+    ev = fold_batchnorm_into_bias(variables)
     S = cfg.model.seq_len
     m = cfg.model
 
@@ -76,15 +84,16 @@ def main():
 
         W1, W2 = 2, 2 + args.iters
         r1, r2 = make(W1), make(W2)
-        r1(img, imu, ts, carry0).block_until_ready()
-        r2(img, imu, ts, carry0).block_until_ready()
+        # value fetches: the relay's block_until_ready can return early
+        float(r1(img, imu, ts, carry0))
+        float(r2(img, imu, ts, carry0))
         samples = []
         for rep in range(3):
             t0 = time.perf_counter()
-            r1(img + 0.1 * rep, imu, ts, carry0).block_until_ready()
+            float(r1(img + 0.1 * rep, imu, ts, carry0))
             ta = time.perf_counter() - t0
             t0 = time.perf_counter()
-            r2(img + 0.2 * rep, imu, ts, carry0).block_until_ready()
+            float(r2(img + 0.2 * rep, imu, ts, carry0))
             tb = time.perf_counter() - t0
             samples.append((tb - ta) / (W2 - W1))
         samples.sort()
