@@ -36,6 +36,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sessions", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--use_pallas", action="store_true",
+                    help="fused Pallas adaptive-ODE solve on the eval path")
     args = ap.parse_args()
 
     import dataclasses
@@ -45,6 +47,9 @@ def main():
     from ode_vio_tpu.models.fold import fold_batchnorm_into_bias
 
     cfg = flagship_config()
+    if args.use_pallas:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, use_pallas=True))
     _, variables = init_model(cfg, jax.random.PRNGKey(0), batch_size=1)
     # production eval graph: BN-free bias fold (same as make_infer_fn)
     model = create_model(
