@@ -90,6 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ode_rtol", type=float, default=1e-2)
     p.add_argument("--ode_atol", type=float, default=1e-6)
     p.add_argument("--ode_max_steps", type=int, default=64)
+    p.add_argument("--ode_max_steps_train", type=int, default=16,
+                   help="differentiable (bounded-scan) step budget per "
+                        "solve segment during training; the chunked "
+                        "early exit means unused budget costs only its "
+                        "residual zero-fill, and exhausting it is "
+                        "surfaced via the solver_incomplete metric")
     p.add_argument("--ode_exit_chunk", type=int, default=4,
                    help="early-exit chunk of the batched training solve: "
                         "skip whole chunks of the masked scan once every "
@@ -111,6 +117,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cde_num_layers", type=int, default=3)
     p.add_argument("--cde_activation_fn", type=str, default="tanh")
     p.add_argument("--cde_solver", type=str, default="dopri5")
+    p.add_argument("--cde_max_steps", type=int, default=256,
+                   help="EVAL step budget per CDE/RDE segment. At the "
+                        "reference's rtol 1e-4 a stiff path can need far "
+                        "more than the ODE-RNN budget; eval solves run a "
+                        "while-loop that only pays for steps actually "
+                        "taken, and hitting the cap is surfaced by the "
+                        "cde_solves_incomplete counter. Training uses "
+                        "--ode_max_steps_train.")
     p.add_argument("--cde_interpolation", type=str, default="linear",
                    choices=["linear", "cubic"])
     p.add_argument("--cde_streaming_mode", type=str, default="carry",
@@ -209,13 +223,16 @@ def config_from_args(args) -> Config:
         ),
         solver=SolverConfig(
             method=args.ode_solver, rtol=args.ode_rtol, atol=args.ode_atol,
-            max_steps=args.ode_max_steps, adaptive=not args.ode_fixed_step,
+            max_steps=args.ode_max_steps,
+            max_steps_train=args.ode_max_steps_train,
+            adaptive=not args.ode_fixed_step,
             unroll_mode="adjoint" if args.adjoint else "bounded",
             exit_chunk=args.ode_exit_chunk,
         ),
         cde_solver_cfg=SolverConfig(
             method=args.cde_solver, rtol=1e-4, atol=1e-6,
-            max_steps=args.ode_max_steps,
+            max_steps=args.cde_max_steps,
+            max_steps_train=args.ode_max_steps_train,
         ),
         data=DataConfig(
             data_dir=args.data_dir,

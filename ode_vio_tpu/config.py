@@ -242,8 +242,17 @@ class Config:
 
     model: ModelConfig = field(default_factory=ModelConfig)
     solver: SolverConfig = field(default_factory=SolverConfig)
+    # CDE/RDE solver: reference tolerances (PoseCDE.py:101, rtol 1e-4 —
+    # 100x tighter than the ODE-RNN's 1e-2) with a wider EVAL step budget:
+    # torchdiffeq runs effectively uncapped at eval, and at rtol 1e-4 a
+    # stiff path can legitimately need >64 steps per segment; eval uses
+    # the while-loop solver, which only pays for steps actually taken, so
+    # the higher cap costs nothing when dynamics are tame (truncations at
+    # the cap are surfaced by the cde_solves_incomplete counter either
+    # way). Training keeps the bounded max_steps_train budget.
     cde_solver_cfg: SolverConfig = field(
-        default_factory=lambda: SolverConfig(rtol=1e-4, atol=1e-6)
+        default_factory=lambda: SolverConfig(rtol=1e-4, atol=1e-6,
+                                             max_steps=256)
     )
     data: DataConfig = field(default_factory=DataConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
