@@ -81,3 +81,35 @@ class TestFusedOdeSolve:
         )
         np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_x),
                                    rtol=2e-5, atol=2e-6)
+
+
+class TestPallasDropout:
+    """pallas_dropout (hardware-PRNG fused dropout). The TPU PRNG
+    primitives have no interpret-mode lowering, so these tests run only
+    on a real TPU (they self-skip on CPU); the same checks ran on
+    hardware via scripts/probe_pallas_dropout.py (BENCH.md round 3:
+    exact correctness, measured slower than the rbg path — ships
+    unwired)."""
+
+    def _tpu(self):
+        import pytest
+
+        if jax.default_backend() not in ("tpu", "axon"):
+            pytest.skip("pltpu PRNG primitives need a real TPU backend")
+
+    def test_mask_semantics_and_bwd_identity(self):
+        self._tpu()
+        from ode_vio_tpu.ops.pallas_kernels import pallas_dropout
+
+        x = jnp.ones((512, 512), jnp.float32)
+        seed = jnp.asarray(42, jnp.int32)
+        y = np.asarray(jax.jit(pallas_dropout, static_argnums=(2, 3))(
+            x, seed, 0.5))
+        kept = y != 0
+        assert abs(kept.mean() - 0.5) < 0.02
+        np.testing.assert_allclose(y[kept], 2.0, rtol=1e-6)
+        g = np.asarray(jax.jit(
+            jax.grad(lambda x: jnp.sum(pallas_dropout(x, seed, 0.5) * 3.0))
+        )(x))
+        np.testing.assert_array_equal(y != 0, g != 0)
+        np.testing.assert_allclose(g[g != 0], 6.0, rtol=1e-6)
