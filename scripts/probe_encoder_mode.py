@@ -12,7 +12,6 @@ scripts/probe_encoder_mode.py``
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import time
@@ -50,7 +49,7 @@ def slope(run, args, k1=2, k2=6, reps=3):
 
 def main():
     from ode_vio_tpu.config import flagship_config
-    from ode_vio_tpu.models.encoders import ImageEncoder, InertialEncoder
+    from ode_vio_tpu.models.encoders import ImageEncoder
 
     cfg = flagship_config()
     S = cfg.model.seq_len
