@@ -51,6 +51,46 @@ def make_imu(n_frames: int, rng: np.random.Generator) -> np.ndarray:
     return sig
 
 
+def make_imu_odometric(
+    poses: np.ndarray,
+    ts: np.ndarray,
+    rng: np.random.Generator,
+    noise: float = 0.01,
+) -> np.ndarray:
+    """(10*(N-1)+1, 6) odometry-CONSISTENT pseudo-IMU: each frame
+    interval's 10 samples carry that interval's body-frame velocity on the
+    accelerometer channels (plus gravity on az) and its body angular rate
+    on the gyro channels, so an 11-sample window *determines* the relative
+    pose it straddles.
+
+    This is a learnability fixture, not a physical IMU simulation (a real
+    accelerometer measures specific force, recoverable only by
+    integration): it makes the synthetic mini-KITTI tree end-to-end
+    LEARNABLE — training on it must drive t_rel/r_rel toward zero, which
+    the band-limited-noise default cannot (there the only learnable signal
+    is the mean pose step). Channel layout matches the loaders'
+    [ax, ay, az, gx, gy, gz] convention (hflip sign table,
+    data/transforms.py; reference src/data/utils.py:383-403).
+    """
+    poses = np.asarray(poses, dtype=np.float64)
+    ts = np.asarray(ts, dtype=np.float64)
+    n_frames = poses.shape[0]
+    n = 10 * (n_frames - 1) + 1
+    sig = np.zeros((n, 6))
+    for k in range(n_frames - 1):
+        dt = max(ts[k + 1] - ts[k], 1e-6)
+        rel = geo.relative_pose6dof(poses[k], poses[k + 1])
+        body_vel = rel[3:6] / dt        # body-frame translation rate (m/s)
+        body_rate = rel[0:3] / dt       # body-frame Euler rate (rad/s)
+        sig[k * 10 : k * 10 + 10, 0:3] = body_vel
+        sig[k * 10 : k * 10 + 10, 3:6] = body_rate
+    sig[-1] = sig[-2]                   # final sample extends the last interval
+    sig[:, 2] += 9.81                   # gravity on az, as the noise mode
+    if noise > 0:
+        sig += noise * rng.standard_normal(sig.shape)
+    return sig
+
+
 def make_kitti_tree(
     root,
     seqs=("00", "01"),
@@ -60,8 +100,14 @@ def make_kitti_tree(
     jitter: float = 0.0,
     seed: int = 0,
     speed_scale: float = 1.0,
+    imu_mode: str = "noise",
 ) -> Path:
-    """Write a complete miniature KITTI odometry tree under ``root``."""
+    """Write a complete miniature KITTI odometry tree under ``root``.
+
+    ``imu_mode``: ``'noise'`` (default, band-limited signals — hermetic
+    shape/protocol fixture) or ``'odometric'`` (IMU derived from the
+    trajectory via :func:`make_imu_odometric` — an end-to-end LEARNABLE
+    fixture for convergence evidence)."""
     from PIL import Image
     import scipy.io as sio
 
@@ -82,8 +128,12 @@ def make_kitti_tree(
             ts = np.sort(ts)
         np.savetxt(seq_dir / "times.txt", ts, fmt="%.6f")
 
-        sio.savemat(root / "imus" / f"{s}.mat",
-                    {"imu_data_interp": make_imu(n_frames, rng)})
+        imu = (
+            make_imu_odometric(poses, ts, rng)
+            if imu_mode == "odometric"
+            else make_imu(n_frames, rng)
+        )
+        sio.savemat(root / "imus" / f"{s}.mat", {"imu_data_interp": imu})
 
         h, w = img_hw
         base = rng.integers(0, 255, (h, w, 3), np.uint8)
