@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from ode_vio_tpu.config import ModelConfig, SolverConfig
 from ode_vio_tpu.models.common import KAIMING, PoseRegressor
 from ode_vio_tpu.models.fusion import FusionModule
-from ode_vio_tpu.ops.interpolation import cdeint, make_path
+from ode_vio_tpu.ops.interpolation import cdeint, cdeint_fused, make_path
 from ode_vio_tpu.ops.mlp import apply_cde_func, cde_func_sizes, init_mlp
 from ode_vio_tpu.ops.solvers import SolverOptions
 
@@ -98,8 +98,20 @@ class PoseCDE(nn.Module):
                 cde_params, z, cfg.cde_activation_fn, H, input_dim
             )
 
+        # fused Pallas whole-solve kernel: field weights VMEM-resident
+        # across all RK stages (inference only; ops/pallas_kernels.py)
+        use_fused = cfg.use_pallas and (not train) and opts.adaptive
+
+        def fused(z0_, ts_, xs_, eval_ts_):
+            return cdeint_fused(
+                cde_params, cfg.cde_activation_fn, z0_, ts_, xs_,
+                eval_ts_, cfg.cde_interpolation, opts,
+            )
+
         if history_mode:
-            return self._history_step(obs, prev, initial, g, opts)
+            return self._history_step(
+                obs, prev, initial, g, opts, fused if use_fused else None
+            )
 
         if prev is None:
             z0 = jnp.tanh(initial(obs[:, 0]))          # z0 from first obs
@@ -124,6 +136,12 @@ class PoseCDE(nn.Module):
                 )
 
             zs = jax.vmap(solve_one)(obs, knots, z0)      # (B, S-1, H)
+        elif use_fused:
+            zs, stats = fused(z0, knots, obs, knots)          # (B, S-1, H)
+            self.sow("intermediates", "cde_steps_accepted",
+                     jnp.sum(stats.accepted))
+            self.sow("intermediates", "cde_solves_incomplete",
+                     stats.incomplete.reshape(zs.shape[0], -1).sum(1))
         else:
             def solve_one(obs_i, knots_i, z0_i):
                 path = make_path(knots_i, obs_i, cfg.cde_interpolation)
@@ -139,7 +157,7 @@ class PoseCDE(nn.Module):
         poses = PoseRegressor(name="regressor")(zs)
         return poses, zs[:, -1, :]
 
-    def _history_step(self, obs, prev, initial, g, opts):
+    def _history_step(self, obs, prev, initial, g, opts, fused=None):
         """Reference-semantics streaming eval (PoseCDE.py:87-103) with
         static shapes: a ring buffer of the last ``cde_history_cap``
         time-augmented observations re-integrated every window from the
@@ -178,12 +196,16 @@ class PoseCDE(nn.Module):
             # zero-length segments -> exact no-op before saturation)
             evict = buf[:, : T + 1]
 
-            def advance_one(seg_i, z0_i):
-                path = make_path(seg_i[:, 0], seg_i, cfg.cde_interpolation)
-                zs, _ = cdeint(path, g, z0_i, seg_i[:, 0], opts)
-                return zs[-1]
+            if fused is not None:
+                z0 = fused(z0, evict[:, :, 0], evict, evict[:, :, 0])[0][:, -1]
+            else:
+                def advance_one(seg_i, z0_i):
+                    path = make_path(seg_i[:, 0], seg_i,
+                                     cfg.cde_interpolation)
+                    zs, _ = cdeint(path, g, z0_i, seg_i[:, 0], opts)
+                    return zs[-1]
 
-            z0 = jax.vmap(advance_one)(evict, z0)
+                z0 = jax.vmap(advance_one)(evict, z0)
 
             buf = jnp.roll(buf, -T, axis=1).at[:, K - T :].set(obs)
             cnt = jnp.minimum(cnt + T, K)
@@ -197,11 +219,14 @@ class PoseCDE(nn.Module):
         )
         buf = jnp.where(valid[..., None], buf, first_valid)
 
-        def solve_one(buf_i, z0_i):
-            path = make_path(buf_i[:, 0], buf_i, cfg.cde_interpolation)
-            return cdeint(path, g, z0_i, buf_i[:, 0], opts)
+        if fused is not None:
+            zs_all, stats = fused(z0, buf[:, :, 0], buf, buf[:, :, 0])
+        else:
+            def solve_one(buf_i, z0_i):
+                path = make_path(buf_i[:, 0], buf_i, cfg.cde_interpolation)
+                return cdeint(path, g, z0_i, buf_i[:, 0], opts)
 
-        zs_all, stats = jax.vmap(solve_one)(buf, z0)
+            zs_all, stats = jax.vmap(solve_one)(buf, z0)
         self.sow("intermediates", "cde_steps_accepted",
                  jnp.sum(stats.accepted))
         self.sow("intermediates", "cde_solves_incomplete",

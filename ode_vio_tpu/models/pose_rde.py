@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ode_vio_tpu.config import ModelConfig, SolverConfig
 from ode_vio_tpu.models.common import KAIMING, PoseRegressor
 from ode_vio_tpu.models.fusion import FusionModule
-from ode_vio_tpu.ops.interpolation import cdeint, make_path
+from ode_vio_tpu.ops.interpolation import cdeint, cdeint_fused, make_path
 from ode_vio_tpu.ops.logsig import logsig_dim, logsig_windows
 from ode_vio_tpu.ops.mlp import apply_cde_func, cde_func_sizes, init_mlp
 from ode_vio_tpu.ops.solvers import SolverOptions
@@ -87,6 +87,16 @@ class PoseRDE(nn.Module):
                 cde_params, z, cfg.cde_activation_fn, H, sig_dim
             )
 
+        # fused Pallas whole-solve kernel: field weights VMEM-resident
+        # across all RK stages (inference only; ops/pallas_kernels.py)
+        use_fused = cfg.use_pallas and (not train) and opts.adaptive
+
+        def fused(z0_, ts_, xs_, eval_ts_):
+            return cdeint_fused(
+                cde_params, cfg.cde_activation_fn, z0_, ts_, xs_,
+                eval_ts_, "linear", opts,
+            )
+
         def solve_one(obs_i, knots_i, eval_ts_i, z0_i):
             # window-compressed logsig path (log-ODE method, PoseRDE.py:88)
             ys, t_new = logsig_windows(
@@ -98,7 +108,10 @@ class PoseRDE(nn.Module):
             return zs, stats
 
         if history_mode:
-            return self._history_step(obs, knots, prev, initial, g, opts)
+            return self._history_step(
+                obs, knots, prev, initial, g, opts,
+                fused if use_fused else None,
+            )
 
         if prev is None:
             z0 = jnp.tanh(initial(obs[:, 0]))
@@ -106,7 +119,15 @@ class PoseRDE(nn.Module):
             z0 = prev
             _ = initial(obs[:, 0])
 
-        zs, stats = jax.vmap(solve_one)(obs, knots, knots, z0)
+        if use_fused:
+            ys, t_new = jax.vmap(
+                lambda o, k: logsig_windows(
+                    o, k, depth=cfg.logsig_depth, window=cfg.logsig_window
+                )
+            )(obs, knots)
+            zs, stats = fused(z0, t_new, ys, knots)
+        else:
+            zs, stats = jax.vmap(solve_one)(obs, knots, knots, z0)
         self.sow("intermediates", "rde_steps_accepted", jnp.sum(stats.accepted))
         # per batch lane (B,) so serving can attribute truncations
         self.sow("intermediates", "rde_solves_incomplete",
@@ -115,7 +136,7 @@ class PoseRDE(nn.Module):
         poses = PoseRegressor(name="regressor")(zs)
         return poses, zs[:, -1, :]
 
-    def _history_step(self, obs, knots, prev, initial, g, opts):
+    def _history_step(self, obs, knots, prev, initial, g, opts, fused=None):
         """Reference-semantics streaming eval (PoseRDE.py:90-95) with
         static shapes: each window's log-signature path is appended to a
         ring buffer of the last ``rde_history_cap`` COMPRESSED-path knots
@@ -176,12 +197,15 @@ class PoseRDE(nn.Module):
             # prefix slots -> exact no-op before saturation)
             ev_t, ev_y = buf_t[:, : W + 1], buf_y[:, : W + 1]
 
-            def advance_one(t_i, y_i, z0_i):
-                path = make_path(t_i, y_i, "linear")
-                zs, _ = cdeint(path, g, z0_i, t_i, opts)
-                return zs[-1]
+            if fused is not None:
+                z0 = fused(z0, ev_t, ev_y, ev_t)[0][:, -1]
+            else:
+                def advance_one(t_i, y_i, z0_i):
+                    path = make_path(t_i, y_i, "linear")
+                    zs, _ = cdeint(path, g, z0_i, t_i, opts)
+                    return zs[-1]
 
-            z0 = jax.vmap(advance_one)(ev_t, ev_y, z0)
+                z0 = jax.vmap(advance_one)(ev_t, ev_y, z0)
 
             # append, continuing the cumulative signature path from the
             # buffer's tail value
@@ -200,10 +224,6 @@ class PoseRDE(nn.Module):
         buf_t = jnp.where(valid, buf_t, first_t)
         buf_y = jnp.where(valid[..., None], buf_y, first_y)
 
-        def solve_one(t_i, y_i, z0_i, eval_ts_i):
-            path = make_path(t_i, y_i, "linear")
-            return cdeint(path, g, z0_i, eval_ts_i, opts)
-
         # evaluate through every intermediate buffer knot, then the
         # window's obs times: each adaptive sub-solve then spans at most
         # one piecewise-linear segment (a single solve from the oldest
@@ -212,7 +232,14 @@ class PoseRDE(nn.Module):
         # knots inside the newest window (t_new[1:]) are a subset of
         # ``knots`` already; older knots all precede knots[0].
         eval_ts = jnp.concatenate([buf_t[:, 1: K - W], knots], axis=1)
-        zs_all, stats = jax.vmap(solve_one)(buf_t, buf_y, z0, eval_ts)
+        if fused is not None:
+            zs_all, stats = fused(z0, buf_t, buf_y, eval_ts)
+        else:
+            def solve_one(t_i, y_i, z0_i, eval_ts_i):
+                path = make_path(t_i, y_i, "linear")
+                return cdeint(path, g, z0_i, eval_ts_i, opts)
+
+            zs_all, stats = jax.vmap(solve_one)(buf_t, buf_y, z0, eval_ts)
         zs = zs_all[:, -T:]                                       # (B,T,H)
         self.sow("intermediates", "rde_steps_accepted",
                  jnp.sum(stats.accepted))

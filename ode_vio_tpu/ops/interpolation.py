@@ -122,6 +122,44 @@ def cdeint(
     return solve_at(ode_func, z0, ts, opts)
 
 
+def cdeint_fused(
+    field_params,
+    activation: str,
+    z0: jnp.ndarray,        # (B, H)
+    ts: jnp.ndarray,        # (B, T) path knot times
+    xs: jnp.ndarray,        # (B, T, C) path observations
+    eval_ts: jnp.ndarray,   # (B, E) evaluation times
+    kind: str,
+    opts: SolverOptions,
+) -> tuple[jnp.ndarray, Stats]:
+    """Batched ``vmap(cdeint)`` as ONE fused Pallas TPU kernel
+    (:func:`ode_vio_tpu.ops.pallas_kernels.fused_cde_solve`): the CDE
+    field's MLP weights stay VMEM-resident across every RK stage of the
+    whole multi-segment solve instead of re-streaming from HBM (~8.4 MB
+    per stage at flagship dims — the measured bottleneck of the cde eval
+    row, BENCH.md round 3). Inference only; identical semantics to the
+    XLA path (parity pinned in tests/test_pallas.py::TestFusedCdeSolve).
+
+    Returns ``(zs (B, E, H), Stats)`` with per-row (B,) aggregate stats,
+    matching ``jax.vmap`` of :func:`cdeint`.
+    """
+    import jax
+
+    from ode_vio_tpu.ops.pallas_kernels import fused_cde_solve
+
+    paths = jax.vmap(lambda t, x: make_path(t, x, kind))(ts, xs)
+    cubic = kind == "cubic"
+    zs, _, acc, rej, inc = fused_cde_solve(
+        field_params, z0, paths.ts, paths.b,
+        paths.c if cubic else None, paths.d if cubic else None,
+        eval_ts, activation=activation, method=opts.method,
+        rtol=opts.rtol, atol=opts.atol, dt0=opts.dt0,
+        max_steps=opts.max_steps, safety=opts.safety,
+        factor_min=opts.factor_min, factor_max=opts.factor_max,
+    )
+    return zs, Stats(acc, rej, inc)
+
+
 def cdeint_adjoint(
     path: InterpolatedPath,
     z0: jnp.ndarray,

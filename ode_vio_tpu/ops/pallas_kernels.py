@@ -210,6 +210,292 @@ def fused_ode_solve(
     return y1[:N], dt_fin[:N, 0], acc[:N, 0], rej[:N, 0], inc[:N, 0]
 
 
+def fused_cde_solve(
+    params: Sequence[dict],
+    z0: jnp.ndarray,        # (N, H) float32
+    path_ts: jnp.ndarray,   # (N, T) control-path knot times
+    path_b: jnp.ndarray,    # (N, T-1, C) segment derivative coeffs (linear: slope)
+    path_c,                 # (N, T-1, C) or None (linear)
+    path_d,                 # (N, T-1, C) or None (linear)
+    eval_ts: jnp.ndarray,   # (N, E) evaluation times, ascending, >= path_ts[:,0]
+    *,
+    activation: str = "tanh",
+    method: str = "dopri5",
+    rtol: float = 1e-4,
+    atol: float = 1e-6,
+    dt0: float = 1e-4,
+    max_steps: int = 256,
+    safety: float = 0.9,
+    factor_min: float = 0.2,
+    factor_max: float = 10.0,
+    interpret: bool | None = None,
+    block_target_bytes: int = 3 << 19,
+):
+    """The ENTIRE multi-segment neural-CDE integration of PoseCDE/PoseRDE
+    (``ops.interpolation.cdeint``: solve ``dz = MLP(z).reshape(H, C) @
+    dX(t) dt`` through ``[path_ts[:,0]] + eval_ts``, torchcde ``cdeint``
+    parity, reference PoseCDE.py:101 / PoseRDE.py:105) as ONE Pallas
+    kernel. Why this is the right design on TPU: the CDE field's final
+    layer is ``(H*C, hidden)`` — 8.4 MB f32 at flagship dims — and the
+    XLA while-loop path re-streams it from HBM for every RK stage of
+    every adaptive step (~30 ms/window of pure weight traffic, the
+    measured bottleneck of the cde eval row, BENCH.md round 3). Here the
+    weights load into VMEM once per *window*; every stage reads them at
+    VMEM bandwidth and the per-segment scan, controller state and stage
+    derivatives never round-trip to HBM.
+
+    Exact semantics of ``vmap(lambda: cdeint(path, g, z0, eval_ts,
+    opts))`` with per-segment step budgets, warm-restarted dt across
+    segments, per-segment FSAL re-init, and the same boundary rule for
+    the path derivative (``searchsorted(ts, t, 'right') - 1`` clipped —
+    a clamped final stage landing exactly on a knot reads the NEXT
+    segment's slope, replicated here so step counts match the XLA path
+    step for step). Repeated knots (ring-buffer masked prefixes) have
+    zero derivative and zero-length solve segments, exactly as
+    ``linear_path`` defines them.
+
+    ``params``: ops.mlp layer list for the CDE field — last layer out dim
+    ``H*C`` in apply_cde_func's (H, C) h-major layout (permuted to
+    C-major internally so the contraction tiles lane-aligned).
+    Forward/inference only. Returns ``(zs (N, E, H), dt_final (N,),
+    accepted (N,), rejected (N,), incomplete (N,))`` — stats summed over
+    segments per row, matching ``solve_at``'s aggregate Stats.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tab = get_tableau(method)
+    if not tab.adaptive_capable:
+        raise ValueError(f"method '{method}' has no error estimate")
+    act = get_activation(activation)
+    cubic = path_c is not None
+    n_layers = len(params)
+    N, H = z0.shape
+    T = path_ts.shape[1]
+    E = eval_ts.shape[1]
+    C = path_b.shape[2]
+    in_dim = params[-1]["w"].shape[1]
+    if params[-1]["w"].shape[0] != H * C:
+        raise ValueError(
+            f"last layer out dim {params[-1]['w'].shape[0]} != H*C "
+            f"({H}*{C})"
+        )
+
+    rows = _round_up(max(N, 8), 8)
+    pad = rows - N
+    z0p = jnp.pad(z0.astype(jnp.float32), ((0, pad), (0, 0)))
+    # padded rows: all-zero knots/eval times -> every segment zero-length
+    ts_p = jnp.pad(path_ts.astype(jnp.float32), ((0, pad), (0, 0)))
+    ev_p = jnp.pad(eval_ts.astype(jnp.float32), ((0, pad), (0, 0)))
+    # block the (H*C, in) final layer over C so each stage's transient
+    # activation tile stays ~`block_target_bytes` of VMEM (the knob is
+    # exposed for tests/tuning); permute h-major -> c-major so each block
+    # reshapes to (rows, Cb, H) with a lane-aligned minor dim
+    n_blocks = max(1, -(-rows * C * H * 4 // block_target_bytes))
+    n_blocks = min(n_blocks, C)
+    cb = -(-C // n_blocks)
+    c_pad = n_blocks * cb
+    # channel-pad the derivative coefficients to c_pad OUTSIDE the kernel
+    # (padded channels have zero coefficients -> zero contribution)
+    cpad3 = ((0, pad), (0, 0), (0, c_pad - C))
+    coeff_args = [jnp.pad(path_b.astype(jnp.float32), cpad3)]
+    if cubic:
+        coeff_args.append(jnp.pad(path_c.astype(jnp.float32), cpad3))
+        coeff_args.append(jnp.pad(path_d.astype(jnp.float32), cpad3))
+    # segment bounds, leading-axis indexed inside the kernel:
+    # segment 0 runs path.t0 -> eval[0]; segment j runs eval[j-1] -> eval[j]
+    seg_t0 = jnp.concatenate([ts_p[:, :1], ev_p[:, :-1]], axis=1)  # (rows,E)
+    seg_t0 = seg_t0.T[:, :, None]                                  # (E,rows,1)
+    seg_t1 = ev_p.T[:, :, None]                                    # (E,rows,1)
+    w_last = params[-1]["w"].astype(jnp.float32).reshape(H, C, in_dim)
+    w_last = jnp.pad(w_last, ((0, 0), (0, c_pad - C), (0, 0)))
+    w_last = w_last.transpose(1, 0, 2).reshape(c_pad * H, in_dim)
+    b_last = params[-1]["b"].astype(jnp.float32).reshape(H, C)
+    b_last = jnp.pad(b_last, ((0, 0), (0, c_pad - C))).T.reshape(1, c_pad * H)
+    flat_weights = []
+    for layer in params[:-1]:
+        flat_weights.append(layer["w"].astype(jnp.float32))
+        flat_weights.append(layer["b"].astype(jnp.float32).reshape(1, -1))
+    flat_weights += [w_last, b_last]
+
+    def kernel(z0_ref, ts_ref, t0s_ref, t1s_ref, *refs):
+        seg_idx = jax.lax.broadcasted_iota(
+            jnp.float32, (1, T - 1), 1
+        )  # (1, T-1)
+        crefs = refs[: 1 + 2 * cubic]
+        wrefs = refs[1 + 2 * cubic : 1 + 2 * cubic + 2 * n_layers]
+        zs_ref, dt_ref, acc_ref, rej_ref, inc_ref = refs[
+            1 + 2 * cubic + 2 * n_layers :
+        ]
+        ts_all = ts_ref[:]                                   # (rows, T)
+
+        def deriv_at(t):                                     # t (rows, 1)
+            # k = clip(searchsorted(ts, t, 'right') - 1, 0, T-2), then the
+            # piecewise-polynomial derivative of segment k (interpolation
+            # .py:45-58) as a one-hot masked reduction over segments
+            ge = (t >= ts_all).astype(jnp.float32)           # (rows, T)
+            k = jnp.clip(
+                jnp.sum(ge, axis=1, keepdims=True) - 1.0, 0.0, T - 2.0
+            )
+            sel = (k == seg_idx).astype(jnp.float32)         # (rows, T-1)
+            b3 = crefs[0][:]                               # (rows,T-1,c_pad)
+            dX = jnp.sum(sel[:, :, None] * b3, axis=1)       # (rows, c_pad)
+            if cubic:
+                tk = jnp.sum(sel * ts_all[:, : T - 1], axis=1, keepdims=True)
+                s = t - tk                                   # (rows, 1)
+                ck = jnp.sum(sel[:, :, None] * crefs[1][:], axis=1)
+                dk = jnp.sum(sel[:, :, None] * crefs[2][:], axis=1)
+                dX = (3.0 * dk * s + 2.0 * ck) * s + dX
+            return dX
+
+        def field(t, z):
+            h = z
+            for i in range(n_layers - 1):
+                w = wrefs[2 * i][:]
+                bb = wrefs[2 * i + 1][:]
+                h = act(
+                    jax.lax.dot_general(
+                        h, w, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    + bb
+                )
+            dX = deriv_at(t)                                 # (rows, c_pad)
+            dz = jnp.zeros((rows, H), jnp.float32)
+            for blk in range(n_blocks):
+                w = wrefs[2 * (n_layers - 1)][blk * cb * H : (blk + 1) * cb * H]
+                bb = wrefs[2 * (n_layers - 1) + 1][
+                    :, blk * cb * H : (blk + 1) * cb * H
+                ]
+                o = (
+                    jax.lax.dot_general(
+                        h, w, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    + bb
+                )
+                o3 = jnp.tanh(o).reshape(rows, cb, H)
+                dz = dz + jnp.sum(
+                    o3 * dX[:, blk * cb : (blk + 1) * cb, None], axis=1
+                )
+            return dz
+
+        def solve_segment(j, carry):
+            z, dt, acc, rej, inc = carry
+            t_start = t0s_ref[j]                             # (rows, 1)
+            t_end = t1s_ref[j]
+            f_init = (
+                field(t_start, z) if tab.fsal else jnp.zeros_like(z)
+            )
+
+            def cond(c):
+                step, t, dtc, y, f, a, r = c
+                return jnp.logical_and(
+                    step < max_steps, jnp.any((t_end - t) > 0.0)
+                )
+
+            def body(c):
+                step, t, dtc, y, f, a, r = c
+                active = (t_end - t) > 0.0
+                remaining = jnp.maximum(t_end - t, 0.0)
+                clamped = dtc >= remaining
+                dt_c = jnp.where(clamped, remaining, dtc)
+
+                ks = [f if tab.fsal else field(t, y)]
+                for i in range(1, tab.num_stages):
+                    incr = None
+                    for cc, k in zip(tab.a[i], ks):
+                        if cc == 0.0:
+                            continue
+                        incr = cc * k if incr is None else incr + cc * k
+                    yi = y if incr is None else y + dt_c * incr
+                    ks.append(field(t + tab.c[i] * dt_c, yi))
+
+                sol = None
+                for cc, k in zip(tab.b_sol, ks):
+                    if cc == 0.0:
+                        continue
+                    sol = cc * k if sol is None else sol + cc * k
+                y1 = y + dt_c * sol
+                err = None
+                for cc, k in zip(tab.b_err, ks):
+                    if cc == 0.0:
+                        continue
+                    err = cc * k if err is None else err + cc * k
+                err = dt_c * err
+
+                scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
+                ratio = jnp.sqrt(
+                    jnp.mean((err / scale) ** 2, axis=1, keepdims=True)
+                )
+                accept = jnp.logical_and(ratio <= 1.0, active)
+
+                safe = jnp.maximum(ratio, _SAFE_RATIO_FLOOR)
+                factor = jnp.clip(
+                    safety * safe ** (-1.0 / tab.order),
+                    factor_min, factor_max,
+                )
+                dt_next = jnp.where(
+                    active,
+                    jnp.maximum(dt_c * factor, jnp.finfo(jnp.float32).tiny),
+                    dtc,
+                )
+                t_next = jnp.where(
+                    accept, jnp.where(clamped, t_end, t + dt_c), t
+                )
+                y_next = jnp.where(accept, y1, y)
+                f_next = jnp.where(accept, ks[-1], f) if tab.fsal else f
+                a = a + accept.astype(jnp.int32)
+                r = r + jnp.logical_and(~accept, active).astype(jnp.int32)
+                return (step + 1, t_next, dt_next, y_next, f_next, a, r)
+
+            zero_i = jnp.zeros((rows, 1), jnp.int32)
+            _, t_fin, dt_fin, z_fin, _, a_seg, r_seg = jax.lax.while_loop(
+                cond, body,
+                (jnp.zeros((), jnp.int32), t_start, dt, z, f_init,
+                 zero_i, zero_i),
+            )
+            zs_ref[pl.dslice(j, 1)] = z_fin[None]
+            inc_seg = ((t_end - t_fin) > 0.0).astype(jnp.int32)
+            return (z_fin, dt_fin, acc + a_seg, rej + r_seg, inc + inc_seg)
+
+        zero_i = jnp.zeros((rows, 1), jnp.int32)
+        dt_init = jnp.full((rows, 1), dt0, jnp.float32)
+        _, dt_fin, acc, rej, inc = jax.lax.fori_loop(
+            0, E, solve_segment,
+            (z0_ref[:], dt_init, zero_i, zero_i, zero_i),
+        )
+        dt_ref[:] = dt_fin
+        acc_ref[:] = acc
+        rej_ref[:] = rej
+        inc_ref[:] = inc
+
+    vmem = functools.partial(pl.BlockSpec, memory_space=pl.ANY if interpret
+                             else pltpu.VMEM)
+    n_in = 4 + len(coeff_args) + 2 * n_layers
+    out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((E, rows, H), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 1), jnp.int32),
+            jax.ShapeDtypeStruct((rows, 1), jnp.int32),
+            jax.ShapeDtypeStruct((rows, 1), jnp.int32),
+        ),
+        in_specs=[vmem()] * n_in,
+        out_specs=(vmem(), vmem(), vmem(), vmem(), vmem()),
+        interpret=interpret,
+    )(z0p, ts_p, seg_t0, seg_t1, *coeff_args, *flat_weights)
+
+    zs, dt_fin, acc, rej, inc = out
+    return (
+        zs.transpose(1, 0, 2)[:N],
+        dt_fin[:N, 0],
+        acc[:N, 0],
+        rej[:N, 0],
+        inc[:N, 0],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fused dropout: hardware PRNG + mask + scale in one VMEM pass
 # ---------------------------------------------------------------------------

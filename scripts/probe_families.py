@@ -36,7 +36,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", nargs="+",
                     default=["ode-rnn", "rnn", "cde", "rde", "cfc"])
+    ap.add_argument("--use_pallas", action="store_true",
+                    help="fused Pallas whole-solve kernels (ode-rnn/cde/rde)")
+    ap.add_argument("--batch", type=int, default=None)
     args = ap.parse_args()
+    global B
+    if args.batch is not None:
+        B = args.batch
 
     from ode_vio_tpu.config import flagship_config
     from ode_vio_tpu.models.deepvio import create_model, init_model
@@ -55,7 +61,8 @@ def main():
 
     for fam in args.families:
         cfg = dataclasses.replace(
-            base, model=dataclasses.replace(base.model, model_type=fam))
+            base, model=dataclasses.replace(
+                base.model, model_type=fam, use_pallas=args.use_pallas))
         model, variables = init_model(cfg, jax.random.PRNGKey(0),
                                       batch_size=1)
         eval_model = create_model(
@@ -102,6 +109,7 @@ def main():
             print(json.dumps({
                 "family": fam, "ms_per_window": round(w * 1e3, 2),
                 "frames_per_sec": round(B * (S - 1) / w, 1),
+                "use_pallas": args.use_pallas, "batch": B,
             }), flush=True)
         except Exception as e:
             print(json.dumps({"family": fam, "error": str(e)[:300]}),
