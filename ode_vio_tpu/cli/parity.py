@@ -76,16 +76,7 @@ def main(argv=None):
     # structural check against a fresh init (catches flag/checkpoint
     # dimension mismatches with a readable error instead of a shape crash)
     _, init_vars = init_model(cfg, jax.random.PRNGKey(0), batch_size=1)
-    conv_paths = {p for p, _ in jax.tree_util.tree_leaves_with_path(
-        variables["params"])}
-    init_paths = {p for p, _ in jax.tree_util.tree_leaves_with_path(
-        init_vars["params"])}
-    if conv_paths != init_paths:
-        missing = sorted(str(p) for p in (init_paths - conv_paths))[:5]
-        extra = sorted(str(p) for p in (conv_paths - init_paths))[:5]
-        raise SystemExit(
-            f"converted checkpoint does not match the model flags: "
-            f"missing {missing} extra {extra}")
+    convert.check_structure(variables, init_vars)
 
     model = create_model(cfg)
 

@@ -50,7 +50,18 @@ def main(argv=None):
     seq = cfg.data.val_seq[0]
 
     model, variables = init_model(cfg, jax.random.PRNGKey(cfg.train.seed))
+    converted = None
     if cfg.pretrain:
+        from ode_vio_tpu.models.convert import (
+            check_structure, variables_from_pretrain,
+        )
+
+        converted = variables_from_pretrain(cfg.pretrain, cfg.model)
+    if converted is not None:
+        check_structure(converted, variables)
+        variables = jax.tree_util.tree_map(jax.numpy.asarray, converted)
+        logger.info("converted reference checkpoint %s", cfg.pretrain)
+    elif cfg.pretrain:
         from ode_vio_tpu.training.checkpoint import CheckpointManager
         from ode_vio_tpu.training.loop import (
             create_train_state, make_optimizer,

@@ -30,7 +30,20 @@ def main(argv=None):
     logger = setup_logger(f"test_{cfg.experiment_name}", dirs["logs"])
 
     model, variables = init_model(cfg, jax.random.PRNGKey(cfg.train.seed))
+    converted = None
     if cfg.pretrain:
+        from ode_vio_tpu.models.convert import (
+            check_structure, variables_from_pretrain,
+        )
+
+        # a reference-layout .pth/.tar/.npz file converts in place, so the
+        # upstream pretrained weights load with the upstream flag
+        converted = variables_from_pretrain(cfg.pretrain, cfg.model)
+    if converted is not None:
+        check_structure(converted, variables)
+        variables = jax.tree_util.tree_map(jax.numpy.asarray, converted)
+        logger.info("converted reference checkpoint %s", cfg.pretrain)
+    elif cfg.pretrain:
         from ode_vio_tpu.training.loop import create_train_state, make_optimizer
 
         ckpt = CheckpointManager(cfg.pretrain)

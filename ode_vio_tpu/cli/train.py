@@ -9,6 +9,7 @@ Orbax checkpoints carrying optimizer state + epoch + PRNG key.
 
 from __future__ import annotations
 
+import re
 import time
 
 import jax
@@ -149,13 +150,33 @@ def main(argv=None):
         }
         logger.info("pretrained FlowNet-S loaded from %s", cfg.pretrain_flownet)
 
+    init_epoch = 0
+    best = float("inf")
+    converted = None
+    if cfg.pretrain:
+        from ode_vio_tpu.models.convert import (
+            check_structure, variables_from_pretrain,
+        )
+
+        # a reference-layout .pth file warm-starts the weights (upstream
+        # --pretrain semantics, train_model.py:175-177: epoch parsed from a
+        # trailing NNN in the filename; fresh optimizer state — upstream
+        # never checkpoints Adam moments either)
+        converted = variables_from_pretrain(cfg.pretrain, cfg.model)
+        if converted is not None:
+            check_structure(converted, variables)
+            variables = jax.tree_util.tree_map(jnp.asarray, converted)
+            m = re.search(r"(\d+)\.(?:pth|tar|pt|npz)$", str(cfg.pretrain))
+            if m:
+                init_epoch = int(m.group(1)) + 1
+            logger.info("warm-started from reference checkpoint %s "
+                        "(epoch %d)", cfg.pretrain, init_epoch)
+
     tx = make_optimizer(cfg)
     state = create_train_state(cfg, variables, tx, jax.random.PRNGKey(cfg.train.seed + 1))
     ckpt = CheckpointManager(dirs["checkpoints"])
 
-    init_epoch = 0
-    best = float("inf")
-    if cfg.pretrain:
+    if cfg.pretrain and converted is None:
         resume = CheckpointManager(cfg.pretrain)
         latest = resume.latest_epoch()
         if latest is not None:

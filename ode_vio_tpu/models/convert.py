@@ -442,3 +442,61 @@ def load_torch_checkpoint(path) -> Dict[str, np.ndarray]:
     obj = torch.load(path, map_location="cpu", weights_only=False)
     sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
     return {k: v.detach().numpy() for k, v in sd.items()}
+
+
+def variables_from_pretrain(path, model_cfg) -> Dict | None:
+    """Accept the reference's ``--pretrain model.pth`` directly.
+
+    If ``path`` is a reference-layout checkpoint *file* (torch ``.pth`` /
+    ``.tar`` / ``.pt`` pickle per /root/reference/README.md:67-77, or the
+    torch-free ``.npz`` written by ``cli.export``), convert it to our
+    ``{'params','batch_stats'}`` variables. Returns ``None`` when ``path``
+    is not a file (an Orbax checkpoint directory — the caller restores it
+    itself). This is what lets every CLI load upstream pretrained weights
+    with the same flag the reference uses (scripts/test_model.py:106-108).
+    """
+    from pathlib import Path
+
+    p = Path(path)
+    if not p.is_file():
+        return None
+    if p.suffix == ".npz":
+        with np.load(p) as z:
+            sd = {k: z[k] for k in z.files}
+    else:
+        sd = load_torch_checkpoint(p)
+    return convert_deepvio(
+        sd,
+        model_cfg.model_type,
+        rnn_num_layers=model_cfg.rnn_num_layers,
+        conv_out_hw=trunk_out_hw(model_cfg.img_h, model_cfg.img_w),
+    )
+
+
+def check_structure(converted: Mapping, init_vars: Mapping) -> None:
+    """Raise with a readable message when a converted checkpoint's param
+    tree does not match the model the flags built (wrong ``--model_type``,
+    dims, or layer counts) instead of a downstream shape crash."""
+    import jax
+
+    conv_paths = {
+        p: np.shape(v) for p, v in
+        jax.tree_util.tree_leaves_with_path(converted["params"])
+    }
+    init_paths = {
+        p: np.shape(v) for p, v in
+        jax.tree_util.tree_leaves_with_path(init_vars["params"])
+    }
+    if conv_paths == init_paths:
+        return
+    missing = sorted(str(p) for p in (set(init_paths) - set(conv_paths)))[:5]
+    extra = sorted(str(p) for p in (set(conv_paths) - set(init_paths)))[:5]
+    shape = sorted(
+        f"{p}: ckpt{conv_paths[p]} != model{init_paths[p]}"
+        for p in set(conv_paths) & set(init_paths)
+        if conv_paths[p] != init_paths[p]
+    )[:5]
+    raise SystemExit(
+        "converted checkpoint does not match the model flags: "
+        f"missing {missing} extra {extra} shape-mismatch {shape}"
+    )
