@@ -38,6 +38,9 @@ def main():
                     default=["ode-rnn", "rnn", "cde", "rde", "cfc"])
     ap.add_argument("--use_pallas", action="store_true",
                     help="fused Pallas whole-solve kernels (ode-rnn/cde/rde)")
+    ap.add_argument("--ab", action="store_true",
+                    help="same-session A/B: measure each family with the "
+                         "XLA while-loop AND the fused Pallas solve")
     ap.add_argument("--batch", type=int, default=None)
     args = ap.parse_args()
     global B
@@ -59,10 +62,12 @@ def main():
     ts = jnp.asarray(np.cumsum(
         rng.random((B, S)).astype(np.float32) * 0.05 + 0.08, 1))
 
+    pallas_settings = [False, True] if args.ab else [args.use_pallas]
     for fam in args.families:
+      for use_pallas in pallas_settings:
         cfg = dataclasses.replace(
             base, model=dataclasses.replace(
-                base.model, model_type=fam, use_pallas=args.use_pallas))
+                base.model, model_type=fam, use_pallas=use_pallas))
         model, variables = init_model(cfg, jax.random.PRNGKey(0),
                                       batch_size=1)
         eval_model = create_model(
@@ -109,7 +114,7 @@ def main():
             print(json.dumps({
                 "family": fam, "ms_per_window": round(w * 1e3, 2),
                 "frames_per_sec": round(B * (S - 1) / w, 1),
-                "use_pallas": args.use_pallas, "batch": B,
+                "use_pallas": use_pallas, "batch": B,
             }), flush=True)
         except Exception as e:
             print(json.dumps({"family": fam, "error": str(e)[:300]}),
