@@ -293,6 +293,12 @@ def fused_cde_solve(
     n_blocks = max(1, -(-rows * C * H * 4 // block_target_bytes))
     n_blocks = min(n_blocks, C)
     cb = -(-C // n_blocks)
+    # Mosaic can only lower the (rows, cb) -> (rows, cb, 1) relayout the
+    # per-block contraction needs for small second-minor sizes (one
+    # sublane tile); larger cb fails with "Unsupported reshape" on real
+    # TPU (bit round 3 at flagship dims, cb=65)
+    cb = min(cb, 8)
+    n_blocks = -(-C // cb)
     c_pad = n_blocks * cb
     # channel-pad the derivative coefficients to c_pad OUTSIDE the kernel
     # (padded channels have zero coefficients -> zero contribution)
@@ -318,9 +324,10 @@ def fused_cde_solve(
     flat_weights += [w_last, b_last]
 
     def kernel(z0_ref, ts_ref, t0s_ref, t1s_ref, *refs):
+        # int32 iota cast to f32: Mosaic rejects float iota on real TPU
         seg_idx = jax.lax.broadcasted_iota(
-            jnp.float32, (1, T - 1), 1
-        )  # (1, T-1)
+            jnp.int32, (1, T - 1), 1
+        ).astype(jnp.float32)  # (1, T-1)
         crefs = refs[: 1 + 2 * cubic]
         wrefs = refs[1 + 2 * cubic : 1 + 2 * cubic + 2 * n_layers]
         zs_ref, dt_ref, acc_ref, rej_ref, inc_ref = refs[
@@ -328,22 +335,31 @@ def fused_cde_solve(
         ]
         ts_all = ts_ref[:]                                   # (rows, T)
 
-        def deriv_at(t):                                     # t (rows, 1)
-            # k = clip(searchsorted(ts, t, 'right') - 1, 0, T-2), then the
-            # piecewise-polynomial derivative of segment k (interpolation
-            # .py:45-58) as a one-hot masked reduction over segments
+        def seg_onehot(t):                                   # t (rows, 1)
+            # k = clip(searchsorted(ts, t, 'right') - 1, 0, T-2) as a
+            # one-hot mask over segments (interpolation.py:45-58)
             ge = (t >= ts_all).astype(jnp.float32)           # (rows, T)
             k = jnp.clip(
                 jnp.sum(ge, axis=1, keepdims=True) - 1.0, 0.0, T - 2.0
             )
-            sel = (k == seg_idx).astype(jnp.float32)         # (rows, T-1)
-            b3 = crefs[0][:]                               # (rows,T-1,c_pad)
-            dX = jnp.sum(sel[:, :, None] * b3, axis=1)       # (rows, c_pad)
+            return (k == seg_idx).astype(jnp.float32)        # (rows, T-1)
+
+        def deriv_at(t, sel, blk):
+            # the piecewise-polynomial derivative of the selected segment,
+            # restricted to channel block `blk`. The block's coefficients
+            # are lane-sliced from the REF (not from a full (rows, c_pad)
+            # value): a value slice at a non-tile-aligned lane offset
+            # carries that offset in its layout, and Mosaic cannot lower
+            # the subsequent (rows, cb) -> (rows, cb, 1) relayout of an
+            # offset-carrying vector (bit round 3 at flagship dims)
+            lo, hi = blk * cb, (blk + 1) * cb
+            b3 = crefs[0][:, :, lo:hi]                     # (rows,T-1,cb)
+            dX = jnp.sum(sel[:, :, None] * b3, axis=1)       # (rows, cb)
             if cubic:
                 tk = jnp.sum(sel * ts_all[:, : T - 1], axis=1, keepdims=True)
                 s = t - tk                                   # (rows, 1)
-                ck = jnp.sum(sel[:, :, None] * crefs[1][:], axis=1)
-                dk = jnp.sum(sel[:, :, None] * crefs[2][:], axis=1)
+                ck = jnp.sum(sel[:, :, None] * crefs[1][:, :, lo:hi], axis=1)
+                dk = jnp.sum(sel[:, :, None] * crefs[2][:, :, lo:hi], axis=1)
                 dX = (3.0 * dk * s + 2.0 * ck) * s + dX
             return dX
 
@@ -359,7 +375,7 @@ def fused_cde_solve(
                     )
                     + bb
                 )
-            dX = deriv_at(t)                                 # (rows, c_pad)
+            sel = seg_onehot(t)
             dz = jnp.zeros((rows, H), jnp.float32)
             for blk in range(n_blocks):
                 w = wrefs[2 * (n_layers - 1)][blk * cb * H : (blk + 1) * cb * H]
@@ -374,9 +390,8 @@ def fused_cde_solve(
                     + bb
                 )
                 o3 = jnp.tanh(o).reshape(rows, cb, H)
-                dz = dz + jnp.sum(
-                    o3 * dX[:, blk * cb : (blk + 1) * cb, None], axis=1
-                )
+                dX = deriv_at(t, sel, blk)                   # (rows, cb)
+                dz = dz + jnp.sum(o3 * dX[:, :, None], axis=1)
             return dz
 
         def solve_segment(j, carry):
@@ -484,6 +499,20 @@ def fused_cde_solve(
         in_specs=[vmem()] * n_in,
         out_specs=(vmem(), vmem(), vmem(), vmem(), vmem()),
         interpret=interpret,
+        # the resident field weights alone exceed Mosaic's 16 MiB default
+        # scoped-VMEM budget at flagship dims (final layer (H*C, in) is
+        # 8.5 MiB f32) — that residency is the kernel's entire purpose;
+        # size the budget from the actual operands + transient margin
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                int(sum(a.size * 4 for a in flat_weights)
+                    + sum(a.size * 4 for a in coeff_args)
+                    + 4 * rows * (T + 3 * E + H)
+                    + (6 + tab.num_stages) * rows * max(H, cb * H) * 4
+                    + (12 << 20)),
+                100 << 20,
+            ),
+        ),
     )(z0p, ts_p, seg_t0, seg_t1, *coeff_args, *flat_weights)
 
     zs, dt_fin, acc, rej, inc = out
