@@ -75,8 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "of the TPU hardware rng-bit-generator (same "
                         "Bernoulli semantics; ~2x slower mask generation, "
                         "bit-reproducible against threefry-keyed runs)")
-    p.add_argument("--use_pallas", action="store_true",
-                   help="fused Pallas adaptive-ODE kernel on the inference path")
+    p.add_argument("--use_pallas", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="fused Pallas adaptive-ODE kernel on the inference "
+                        "path (default auto: on for cde/rde on TPU, where "
+                        "it measured 2.05x/1.19x — BENCH.md; off elsewhere; "
+                        "--no-use_pallas forces the XLA while-loop)")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (fails fast on NaN/Inf; the "
                         "reference's manual tensor-stat NaN logging, "

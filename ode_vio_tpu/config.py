@@ -155,12 +155,27 @@ class ModelConfig:
     # Inference-path kernel fusion: run each timestep's entire adaptive ODE
     # integration as one Pallas kernel with the MLP weights resident in
     # VMEM (ops/pallas_kernels.py). Training always uses the
-    # reverse-differentiable XLA path.
-    use_pallas: bool = False
+    # reverse-differentiable XLA path. None = auto: ON for the cde/rde
+    # families on a TPU backend (measured 2.05x / 1.19x eval speedup —
+    # the XLA while-loop re-streams the 8.4 MB CDE field from HBM every
+    # RK stage; BENCH.md round 3), OFF elsewhere (for ode-rnn the XLA
+    # path measured faster at eval batch sizes; opt in explicitly for
+    # single-session serving where it wins ~9 %).
+    use_pallas: bool | None = None
 
     @property
     def f_len(self) -> int:
         return self.v_f_len + self.i_f_len
+
+    def resolved_use_pallas(self) -> bool:
+        """Resolve the tri-state at trace time: an explicit flag wins;
+        auto enables the fused solve only where it measured faster."""
+        if self.use_pallas is not None:
+            return self.use_pallas
+        import jax
+
+        return (jax.default_backend() == "tpu"
+                and self.model_type in ("cde", "rde"))
 
 
 @dataclass(frozen=True)

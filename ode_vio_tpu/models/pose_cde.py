@@ -100,7 +100,7 @@ class PoseCDE(nn.Module):
 
         # fused Pallas whole-solve kernel: field weights VMEM-resident
         # across all RK stages (inference only; ops/pallas_kernels.py)
-        use_fused = cfg.use_pallas and (not train) and opts.adaptive
+        use_fused = cfg.resolved_use_pallas() and (not train) and opts.adaptive
 
         def fused(z0_, ts_, xs_, eval_ts_):
             return cdeint_fused(

@@ -92,7 +92,7 @@ class PoseODERNN(nn.Module):
         def ode_fn(t, y):
             return apply_mlp(ode_params, y, cfg.ode_activation_fn)
 
-        use_pallas = cfg.use_pallas and not train and opts.adaptive
+        use_pallas = cfg.resolved_use_pallas() and not train and opts.adaptive
 
         if use_adjoint:
             from ode_vio_tpu.ops.solvers import solve_ivp_adjoint

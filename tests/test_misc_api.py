@@ -71,3 +71,37 @@ def test_dryrun_multichip_still_green():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(4)
+
+
+class TestUsePallasAuto:
+    """Tri-state --use_pallas: explicit wins; auto enables the fused
+    solve only for cde/rde on a TPU backend (BENCH.md round-3 A/B)."""
+
+    def test_explicit_overrides_auto(self):
+        for fam in ("ode-rnn", "cde"):
+            on = ModelConfig(model_type=fam, use_pallas=True)
+            off = ModelConfig(model_type=fam, use_pallas=False)
+            assert on.resolved_use_pallas() is True
+            assert off.resolved_use_pallas() is False
+
+    def test_auto_off_on_cpu(self):
+        # the test mesh is the CPU backend: auto must resolve off
+        assert jax.default_backend() == "cpu"
+        for fam in ("ode-rnn", "rnn", "cde", "rde", "cfc"):
+            assert ModelConfig(model_type=fam).resolved_use_pallas() is False
+
+    def test_auto_on_tpu_only_for_cde_families(self, monkeypatch):
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert ModelConfig(model_type="cde").resolved_use_pallas() is True
+        assert ModelConfig(model_type="rde").resolved_use_pallas() is True
+        assert ModelConfig(model_type="ode-rnn").resolved_use_pallas() is False
+        assert ModelConfig(model_type="rnn").resolved_use_pallas() is False
+
+    def test_flag_tri_state(self):
+        from ode_vio_tpu.cli.flags import build_parser
+
+        p = build_parser()
+        base = ["--data_dir", "/tmp/x"]
+        assert p.parse_args(base).use_pallas is None
+        assert p.parse_args(base + ["--use_pallas"]).use_pallas is True
+        assert p.parse_args(base + ["--no-use_pallas"]).use_pallas is False
