@@ -97,10 +97,11 @@ def main(argv=None):
     # truncated-solve counters reset afterwards so the report only counts
     # solves that actually served a frame
     w0 = part[0]
-    _, carry = infer(w0.imgs[None], w0.imus[None], w0.ts[None], None)
-    jax.block_until_ready(
-        infer(w0.imgs[None], w0.imus[None], w0.ts[None], carry)[0]
-    )
+    p0, carry = infer(w0.imgs[None], w0.imus[None], w0.ts[None], None)
+    np.asarray(p0)  # value fetch: block_until_ready can return while the
+    # remote compile is still in flight on relayed backends, leaving the
+    # first served window to absorb it
+    np.asarray(infer(w0.imgs[None], w0.imus[None], w0.ts[None], carry)[0])
     infer.reset_incomplete()
     logger.info("compiled; serving sequence %s (%d windows)", seq, len(part))
 

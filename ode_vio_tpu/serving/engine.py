@@ -174,10 +174,13 @@ class StreamingEngine:
         tss = jnp.asarray(np.broadcast_to(
             self._proto[2][None], (self.N,) + self._proto[2].shape))
         inactive = np.zeros(self.N, bool)
-        _, carry = self._infer(imgs, imus, tss, None, active=inactive)
-        jax.block_until_ready(
-            self._infer(imgs, imus, tss, carry, active=inactive)
-        )
+        p0, carry = self._infer(imgs, imus, tss, None, active=inactive)
+        # value fetches, not block_until_ready: on relayed backends the
+        # latter can return while the remote compile is still in flight,
+        # leaving the first served window to absorb it (cli/serve.py has
+        # the same guard)
+        np.asarray(p0)
+        np.asarray(self._infer(imgs, imus, tss, carry, active=inactive)[0])
         self._infer.reset_incomplete()
 
     def incomplete(self) -> int:
