@@ -52,14 +52,11 @@ def main(argv=None):
     model, variables = init_model(cfg, jax.random.PRNGKey(cfg.train.seed))
     converted = None
     if cfg.pretrain:
-        from ode_vio_tpu.models.convert import (
-            check_structure, variables_from_pretrain,
-        )
+        from ode_vio_tpu.models.convert import maybe_load_reference
 
-        converted = variables_from_pretrain(cfg.pretrain, cfg.model)
+        converted = maybe_load_reference(cfg.pretrain, cfg.model, variables)
     if converted is not None:
-        check_structure(converted, variables)
-        variables = jax.tree_util.tree_map(jax.numpy.asarray, converted)
+        variables = converted
         logger.info("converted reference checkpoint %s", cfg.pretrain)
     elif cfg.pretrain:
         from ode_vio_tpu.training.checkpoint import CheckpointManager

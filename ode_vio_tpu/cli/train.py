@@ -105,6 +105,17 @@ def train_epoch(cfg, loader, train_step, state, mesh, logger, epoch,
     return state, float(np.mean([float(l) for l in losses])) if losses else 0.0
 
 
+def _warm_start_epoch(pretrain) -> int:
+    """Epoch to resume at when warm-starting from a reference-layout
+    checkpoint file. Upstream parses EXACTLY three trailing digits
+    (train_model.py:175-177: ``int(pretrain[-7:-4])``; its epoch
+    checkpoints are named ``001.pth``…); anything else — e.g. the
+    published ``ode-vio-v1.pth``, whose v1 is a version, not an epoch —
+    warm-starts from epoch 0."""
+    m = re.search(r"(?<![0-9])(\d{3})\.(?:pth|tar|pt|npz)$", str(pretrain))
+    return int(m.group(1)) + 1 if m else 0
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
@@ -154,21 +165,15 @@ def main(argv=None):
     best = float("inf")
     converted = None
     if cfg.pretrain:
-        from ode_vio_tpu.models.convert import (
-            check_structure, variables_from_pretrain,
-        )
+        from ode_vio_tpu.models.convert import maybe_load_reference
 
         # a reference-layout .pth file warm-starts the weights (upstream
-        # --pretrain semantics, train_model.py:175-177: epoch parsed from a
-        # trailing NNN in the filename; fresh optimizer state — upstream
-        # never checkpoints Adam moments either)
-        converted = variables_from_pretrain(cfg.pretrain, cfg.model)
+        # --pretrain semantics; fresh optimizer state — upstream never
+        # checkpoints Adam moments either)
+        converted = maybe_load_reference(cfg.pretrain, cfg.model, variables)
         if converted is not None:
-            check_structure(converted, variables)
-            variables = jax.tree_util.tree_map(jnp.asarray, converted)
-            m = re.search(r"(\d+)\.(?:pth|tar|pt|npz)$", str(cfg.pretrain))
-            if m:
-                init_epoch = int(m.group(1)) + 1
+            variables = converted
+            init_epoch = _warm_start_epoch(cfg.pretrain)
             logger.info("warm-started from reference checkpoint %s "
                         "(epoch %d)", cfg.pretrain, init_epoch)
 

@@ -473,6 +473,22 @@ def variables_from_pretrain(path, model_cfg) -> Dict | None:
     )
 
 
+def maybe_load_reference(path, model_cfg, init_vars) -> Dict | None:
+    """The shared CLI entry for ``--pretrain``: if ``path`` is a
+    reference-layout checkpoint *file*, convert it, structure-check it
+    against the flag-built model and return device-ready variables;
+    return ``None`` when ``path`` is an Orbax checkpoint directory (the
+    caller restores that itself)."""
+    converted = variables_from_pretrain(path, model_cfg)
+    if converted is None:
+        return None
+    check_structure(converted, init_vars)
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.asarray, converted)
+
+
 def check_structure(converted: Mapping, init_vars: Mapping) -> None:
     """Raise with a readable message when a converted checkpoint's param
     tree does not match the model the flags built (wrong ``--model_type``,

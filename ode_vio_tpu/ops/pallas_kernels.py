@@ -508,6 +508,7 @@ def fused_cde_solve(
                 int(sum(a.size * 4 for a in flat_weights)
                     + sum(a.size * 4 for a in coeff_args)
                     + 4 * rows * (T + 3 * E + H)
+                    + 4 * E * rows * H  # the zs output buffer
                     + (6 + tab.num_stages) * rows * max(H, cb * H) * 4
                     + (12 << 20)),
                 100 << 20,

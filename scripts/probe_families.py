@@ -62,9 +62,13 @@ def main():
     ts = jnp.asarray(np.cumsum(
         rng.random((B, S)).astype(np.float32) * 0.05 + 0.08, 1))
 
-    pallas_settings = [False, True] if args.ab else [args.use_pallas]
     for fam in args.families:
-      for use_pallas in pallas_settings:
+      # only the solver families read use_pallas; --ab for rnn/cfc would
+      # time the identical executable twice
+      has_pallas = fam in ("ode-rnn", "cde", "rde")
+      settings = ([False, True] if args.ab and has_pallas
+                  else [args.use_pallas and has_pallas])
+      for use_pallas in settings:
         cfg = dataclasses.replace(
             base, model=dataclasses.replace(
                 base.model, model_type=fam, use_pallas=use_pallas))

@@ -11,7 +11,8 @@ produces the same predictions as the pre-converted variables path.
 
 import numpy as np
 import pytest
-import torch
+
+torch = pytest.importorskip("torch")
 
 from ode_vio_tpu.cli.flags import build_parser, config_from_args
 from ode_vio_tpu.data.synthetic import make_kitti_tree
@@ -136,3 +137,17 @@ def test_structure_mismatch_is_readable(kitti_root, replica_ckpt):
     _, init_vars = init_model(cfg, jax.random.PRNGKey(0), batch_size=1)
     with pytest.raises(SystemExit, match="does not match the model flags"):
         convert.check_structure(conv, init_vars)
+
+
+def test_warm_start_epoch_parsing():
+    """Exactly-three-digit epochs parse (upstream int(pretrain[-7:-4]));
+    version suffixes like the published ode-vio-v1.pth must NOT."""
+    from ode_vio_tpu.cli.train import _warm_start_epoch
+
+    assert _warm_start_epoch("checkpoints/010.pth") == 11
+    assert _warm_start_epoch("001.tar") == 2
+    assert _warm_start_epoch("ode-vio-v1.pth") == 0
+    assert _warm_start_epoch("ode-vio-v2.pth") == 0
+    assert _warm_start_epoch("best_2.pth") == 0
+    assert _warm_start_epoch("model_1010.pth") == 0  # 4 digits: not an epoch
+    assert _warm_start_epoch("exported.npz") == 0
