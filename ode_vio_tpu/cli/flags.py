@@ -70,6 +70,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_fold_bn", action="store_true",
                    help="disable inference-time BatchNorm folding "
                         "(models/fold.py; folding is exact at eval)")
+    p.add_argument("--batch_runs", action="store_true",
+                   help="fan every (--run_times repeat, sequence) pair out "
+                        "as one batch lane of a single compiled streaming "
+                        "eval instead of looping the repeats sequentially "
+                        "(the reference's test_model.py:101-128 loop)")
+    p.add_argument("--eval_dp", type=int, default=1,
+                   help="shard the eval batch lanes (cli.test) or serving "
+                        "session lanes (cli.serve multi-session) over this "
+                        "many devices (a 1-D data mesh; -1 = all local "
+                        "devices). Eval lanes pad by replaying decoded "
+                        "data, so any run/sequence count works")
     p.add_argument("--exact_dropout", action="store_true",
                    help="draw encoder dropout masks from threefry instead "
                         "of the TPU hardware rng-bit-generator (same "

@@ -80,7 +80,8 @@ def main(argv=None):
 
     fold = not getattr(args, "no_fold_bn", False)
     if len(cfg.data.val_seq) > 1:
-        return _serve_multi(cfg, model, variables, fold, dirs, logger)
+        return _serve_multi(cfg, model, variables, fold, dirs, logger,
+                            serve_dp=getattr(args, "eval_dp", 1))
 
     infer = make_infer_fn(model, variables, fold_bn=fold)
 
@@ -150,7 +151,8 @@ def main(argv=None):
     return report
 
 
-def _serve_multi(cfg, model, variables, fold_bn, dirs, logger):
+def _serve_multi(cfg, model, variables, fold_bn, dirs, logger,
+                 serve_dp: int = 1):
     """Serve every ``--val_seq`` sequence as a concurrent session on one
     compiled executable (StreamingEngine). The engine is warmed up
     (compiled) on synthetic proto windows before the clock starts, so both
@@ -164,8 +166,21 @@ def _serve_multi(cfg, model, variables, fold_bn, dirs, logger):
                          (cfg.model.img_h, cfg.model.img_w))
         for s in seqs
     }
-    engine = StreamingEngine(model, variables, max_sessions=len(seqs),
-                             fold_bn=fold_bn)
+    sharding = None
+    n_lanes = len(seqs)
+    if serve_dp == -1:
+        serve_dp = len(jax.devices())
+    if serve_dp > 1:
+        # shard the session lanes over a 1-D data mesh (lane count rounds
+        # up to a mesh multiple; spare lanes stay free for open_session)
+        from ode_vio_tpu.parallel.mesh import batch_sharding, create_mesh
+
+        mesh = create_mesh(data=serve_dp, model=1,
+                           devices=jax.devices()[:serve_dp])
+        sharding = batch_sharding(mesh)
+        n_lanes = -(-len(seqs) // serve_dp) * serve_dp
+    engine = StreamingEngine(model, variables, max_sessions=n_lanes,
+                             fold_bn=fold_bn, sharding=sharding)
     sids = {s: engine.open_session() for s in seqs}
     w0 = parts[seqs[0]][0]
     engine.warmup((w0.imgs, w0.imus, w0.ts))

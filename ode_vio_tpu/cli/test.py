@@ -62,19 +62,46 @@ def main(argv=None):
     # (exact; models/fold.py) unless explicitly disabled
     infer = make_infer_fn(model, variables,
                           fold_bn=not getattr(args, "no_fold_bn", False))
-    all_runs = []
-    for run in range(cfg.run_times):
-        evaluator = KittiEvaluator(
+
+    def make_evaluator(run: int) -> KittiEvaluator:
+        return KittiEvaluator(
             cfg.data.data_dir, cfg.data.val_seq, cfg.data.seq_len,
             (cfg.model.img_h, cfg.model.img_w), cfg.data.eval_data_dropout,
             rng=np.random.default_rng(cfg.train.seed + run),
         )
-        errors = evaluator.eval(infer)
-        all_runs.append(errors)
-        logger.info("run %d: %s", run, errors)
-        if run == 0:
-            evaluator.generate_plots(dirs["graphs"])
-            evaluator.save_text(dirs["poses"])
+
+    eval_dp = getattr(args, "eval_dp", 1)
+    if eval_dp == -1:
+        eval_dp = len(jax.devices())
+    if getattr(args, "batch_runs", False) or eval_dp > 1:
+        # every (run, sequence) pair is one lane of a single compiled
+        # streaming eval, optionally sharded over a 1-D data mesh
+        from ode_vio_tpu.data.evaluation import eval_runs
+
+        sharding = None
+        if eval_dp > 1:
+            from ode_vio_tpu.parallel.mesh import batch_sharding, create_mesh
+
+            mesh = create_mesh(data=eval_dp, model=1,
+                               devices=jax.devices()[:eval_dp])
+            sharding = batch_sharding(mesh)
+        evaluators = [make_evaluator(run) for run in range(cfg.run_times)]
+        all_runs = eval_runs(infer, evaluators, sharding=sharding,
+                             pad_to=eval_dp if eval_dp > 1 else None)
+        for run, errors in enumerate(all_runs):
+            logger.info("run %d: %s", run, errors)
+        evaluators[0].generate_plots(dirs["graphs"])
+        evaluators[0].save_text(dirs["poses"])
+    else:
+        all_runs = []
+        for run in range(cfg.run_times):
+            evaluator = make_evaluator(run)
+            errors = evaluator.eval(infer)
+            all_runs.append(errors)
+            logger.info("run %d: %s", run, errors)
+            if run == 0:
+                evaluator.generate_plots(dirs["graphs"])
+                evaluator.save_text(dirs["poses"])
 
     if infer.incomplete() > 0:
         logger.warning(

@@ -23,7 +23,11 @@ class SolverConfig:
     rtol 1e-4 (PoseCDE.py:101).
     """
 
-    method: str = "dopri5"  # euler | heun | midpoint | bosh3 | rk4 | tsit5 | dopri5
+    # euler | heun | adaptive_heun | midpoint | bosh3 | fehlberg2 | rk4 |
+    # tsit5 | dopri5, plus the fixed-grid multistep strings
+    # explicit_adams | implicit_adams (torchdiffeq parity; these ignore
+    # rtol/atol and force fixed-step semantics)
+    method: str = "dopri5"
     rtol: float = 1e-2
     atol: float = 1e-6
     dt0: float = 1e-4

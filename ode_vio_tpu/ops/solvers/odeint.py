@@ -46,6 +46,12 @@ VectorField = Callable[[jnp.ndarray, Pytree], Pytree]  # f(t, y) -> dy/dt
 
 _SAFE_RATIO_FLOOR = 1e-10
 
+# torchdiffeq's fixed-grid linear-multistep method strings (the reference's
+# experiment diary runs implicit_adams through the --cde_solver flag,
+# /root/reference/results/log.txt). Choosing one of these implies
+# fixed-grid semantics, exactly as in torchdiffeq — rtol/atol are ignored.
+MULTISTEP_METHODS = ("explicit_adams", "implicit_adams")
+
 
 @dataclasses.dataclass(frozen=True)
 class SolverOptions:
@@ -91,7 +97,10 @@ class SolverOptions:
         )
         return cls(
             method=cfg.method, rtol=cfg.rtol, atol=cfg.atol, dt0=cfg.dt0,
-            max_steps=max_steps, adaptive=cfg.adaptive,
+            max_steps=max_steps,
+            # multistep method strings are fixed-grid by construction
+            # (torchdiffeq semantics): they override the adaptive flag
+            adaptive=cfg.adaptive and cfg.method not in MULTISTEP_METHODS,
             fixed_steps=cfg.fixed_steps, unroll_mode=cfg.unroll_mode,
             safety=cfg.safety, factor_min=cfg.factor_min,
             factor_max=cfg.factor_max,
@@ -272,9 +281,75 @@ def _solve_adaptive(func, y0, t0, t1, opts: SolverOptions, dt0):
     return final.y, final.dt, stats
 
 
+def _solve_fixed_adams(func, y0, t0, t1, opts: SolverOptions):
+    """Fixed-step order-4 Adams multistep integration over
+    ``opts.fixed_steps`` equal steps — torchdiffeq's fixed-grid
+    ``explicit_adams`` (Adams-Bashforth) and ``implicit_adams``
+    (Adams-Bashforth-Moulton PECE) method strings.
+
+    Startup deviates deliberately from torchdiffeq's order ramp (it grows
+    the multistep order 1..4 over the first steps): the first
+    ``min(3, n)`` steps run single-step RK4 of the same asymptotic order,
+    which keeps the whole trajectory O(dt^4) and avoids carrying a
+    variable-order history through ``lax.scan``. Thereafter:
+
+    * predictor (AB4):  y* = y + dt/24 (55 f_k - 59 f_{k-1} + 37 f_{k-2}
+      - 9 f_{k-3})
+    * corrector (AM4, implicit_adams only, one PECE sweep):
+      y_{k+1} = y + dt/24 (9 f(t_{k+1}, y*) + 19 f_k - 5 f_{k-1}
+      + f_{k-2})
+    """
+    t0 = jnp.asarray(t0, dtype=jnp.result_type(t0, jnp.float32))
+    t1 = jnp.asarray(t1, dtype=t0.dtype)
+    n = opts.fixed_steps
+    dt = (t1 - t0) / n
+    implicit = opts.method == "implicit_adams"
+    rk4 = get_tableau("rk4")
+
+    add = lambda base, coeffs, trees: jax.tree_util.tree_map(
+        lambda b, i: b + dt * i, base, _weighted_sum(coeffs, trees)
+    )
+
+    # RK4 startup (python-unrolled; n is static), recording f at each knot.
+    y = y0
+    hist = []  # f(t_k, y_k), oldest first
+    for k in range(min(3, n)):
+        t = t0 + k * dt
+        hist.append(func(t, y))
+        y, _, _ = rk_step(func, t, y, dt, rk4, None)
+
+    if n > 3:
+        def body(carry, k):
+            yk, fm1, fm2, fm3 = carry  # f at t_{k-1}, t_{k-2}, t_{k-3}
+            t = t0 + k * dt
+            f0 = func(t, yk)
+            y_pred = add(
+                yk, (55 / 24, -59 / 24, 37 / 24, -9 / 24), (f0, fm1, fm2, fm3)
+            )
+            if implicit:
+                fp = func(t + dt, y_pred)
+                y_next = add(
+                    yk, (9 / 24, 19 / 24, -5 / 24, 1 / 24), (fp, f0, fm1, fm2)
+                )
+            else:
+                y_next = y_pred
+            return (y_next, f0, fm1, fm2), None
+
+        (y, _, _, _), _ = lax.scan(
+            body,
+            (y, hist[2], hist[1], hist[0]),
+            jnp.arange(3, n, dtype=t0.dtype),
+        )
+
+    zero = jnp.zeros((), jnp.int32)
+    return y, dt, Stats(zero + n, zero, zero)
+
+
 def _solve_fixed(func, y0, t0, t1, opts: SolverOptions):
     """Fixed-step integration with ``opts.fixed_steps`` equal steps
     (torchode FixedStepController parity, PoseODERNN.py:77-86)."""
+    if opts.method in MULTISTEP_METHODS:
+        return _solve_fixed_adams(func, y0, t0, t1, opts)
     tab = opts.tableau
     t0 = jnp.asarray(t0, dtype=jnp.result_type(t0, jnp.float32))
     t1 = jnp.asarray(t1, dtype=t0.dtype)
@@ -332,7 +407,7 @@ def solve_ivp_dt(
             "use solve_ivp_adjoint() for the continuous-adjoint mode "
             "(it needs explicit params)"
         )
-    if opts.adaptive:
+    if opts.adaptive and opts.method not in MULTISTEP_METHODS:
         return _solve_adaptive(func, y0, t0, t1, opts, dt0)
     return _solve_fixed(func, y0, t0, t1, opts)
 
@@ -369,7 +444,10 @@ def solve_ivp_batched_dt(
         if dt0 is None
         else dt0
     )
-    if not (opts.adaptive and opts.unroll_mode != "adjoint"):
+    if (
+        not (opts.adaptive and opts.unroll_mode != "adjoint")
+        or opts.method in MULTISTEP_METHODS
+    ):
         return jax.vmap(
             lambda y, a, b, d: solve_ivp_dt(func, y, a, b, opts, d)
         )(y0, t0, t1, dt0)
@@ -449,7 +527,7 @@ def solve_at(
     def seg(carry, t_pair):
         y, dt = carry
         t0, t1 = t_pair
-        if opts.adaptive:
+        if opts.adaptive and opts.method not in MULTISTEP_METHODS:
             y1, dt_next, stats = _solve_adaptive(func, y, t0, t1, opts, dt)
         else:
             y1, dt_next, stats = _solve_fixed(func, y, t0, t1, opts)

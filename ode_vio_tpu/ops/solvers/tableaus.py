@@ -3,11 +3,15 @@
 Provides the step-method families of the reference's third-party solver
 stack — torchode's Euler/Heun/Tsit5/Dopri5 (used at
 /root/reference/src/models/PoseODERNN.py:125-137) and torchdiffeq's
-euler/midpoint/rk4/bosh3/dopri5 (reached via torchcde at PoseCDE.py:101) —
-as plain data consumed by a single generic stepper.
+single-step methods euler/midpoint/rk4/bosh3/dopri5/fehlberg2/
+adaptive_heun (reached via torchcde at PoseCDE.py:101) — as plain data
+consumed by a single generic stepper. torchdiffeq's fixed-grid multistep
+methods (``explicit_adams``/``implicit_adams``, used in the reference's
+experiment diary, results/log.txt) are not tableau-based; they live in
+``odeint._solve_fixed_adams``.
 
 All coefficients are standard published values (Dormand & Prince 1980,
-Tsitouras 2011, Bogacki & Shampine 1989).
+Tsitouras 2011, Bogacki & Shampine 1989, Fehlberg 1969).
 """
 
 from __future__ import annotations
@@ -93,6 +97,17 @@ BOSH3 = ButcherTableau(
     fsal=True,
 )
 
+# Fehlberg 2(1) (RKF12): 3 stages, 2nd order with embedded 1st-order
+# estimate — torchdiffeq's 'fehlberg2' method string.
+FEHLBERG2 = ButcherTableau(
+    name="fehlberg2",
+    a=((), (0.5,), (1 / 256, 255 / 256)),
+    b_sol=(1 / 512, 255 / 256, 1 / 512),
+    b_err=(1 / 512 - 1 / 256, 0.0, 1 / 512),  # embedded (1/256, 255/256, 0)
+    c=(0.0, 0.5, 1.0),
+    order=2,
+)
+
 # Dormand-Prince 5(4), FSAL — the reference's default solver family.
 DOPRI5 = ButcherTableau(
     name="dopri5",
@@ -175,10 +190,13 @@ TSIT5 = ButcherTableau(
 
 TABLEAUS: dict[str, ButcherTableau] = {
     t.name: t
-    for t in (EULER, MIDPOINT, HEUN, RK4, BOSH3, DOPRI5, TSIT5)
+    for t in (EULER, MIDPOINT, HEUN, RK4, BOSH3, FEHLBERG2, DOPRI5, TSIT5)
 }
 # torchdiffeq / reference flag aliases
 TABLEAUS["runge_kutta"] = RK4
+# torchdiffeq's 'adaptive_heun' IS Heun with the embedded-Euler error
+# estimate — our HEUN tableau already carries it.
+TABLEAUS["adaptive_heun"] = HEUN
 
 
 def get_tableau(name: str) -> ButcherTableau:

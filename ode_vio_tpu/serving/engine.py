@@ -71,8 +71,14 @@ class StreamingEngine:
     """
 
     def __init__(self, model, variables, max_sessions: int = 8,
-                 fold_bn: bool = True):
+                 fold_bn: bool = True, sharding=None):
+        """``sharding``: an optional ``jax.sharding.NamedSharding`` over a
+        1-D data mesh axis; session lanes (batch axis 0 of the stacked
+        windows, and the carried hidden states through jit propagation)
+        then shard across devices — multi-chip serving from the same
+        engine. ``max_sessions`` must be a multiple of the mesh size."""
         self.N = int(max_sessions)
+        self._sharding = sharding
         self._infer = make_infer_fn(model, variables, fold_bn=fold_bn)
         self._free = list(range(self.N - 1, -1, -1))
         self._open: set = set()
@@ -135,9 +141,14 @@ class StreamingEngine:
                 w = self._last.get(lane, self._proto)
             stacked.append(w)
 
-        imgs = jnp.asarray(np.stack([w[0] for w in stacked], 0))
-        imus = jnp.asarray(np.stack([w[1] for w in stacked], 0))
-        ts = jnp.asarray(np.stack([w[2] for w in stacked], 0))
+        put = (
+            jnp.asarray
+            if self._sharding is None
+            else (lambda x: jax.device_put(x, self._sharding))
+        )
+        imgs = put(np.stack([w[0] for w in stacked], 0))
+        imus = put(np.stack([w[1] for w in stacked], 0))
+        ts = put(np.stack([w[2] for w in stacked], 0))
 
         # truncated-solve counters only accumulate for lanes serving a real
         # window this step — idle lanes replaying stale/proto windows must

@@ -58,7 +58,8 @@ def build_config(family: str):
 
 
 def train_family(family: str, root, epochs: int, dropout: float,
-                 dropout_std: float, seed: int):
+                 dropout_std: float, seed: int, lr: float = 1e-3,
+                 lr_fine: float | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -78,13 +79,21 @@ def train_family(family: str, root, epochs: int, dropout: float,
     state = create_train_state(cfg, variables, tx,
                                jax.random.PRNGKey(seed + 1))
     state = state.replace(
-        opt_state=set_learning_rate(state.opt_state, cfg.train.lr_warmup)
+        opt_state=set_learning_rate(state.opt_state, lr)
     )
     step = make_train_step(model, tx, cfg)
 
     t0 = time.time()
     last_losses = []
+    fine_from = int(epochs * 2 / 3)
     for epoch in range(epochs):
+        if lr_fine is not None and epoch == fine_from:
+            # miniature of the reference's phase schedule
+            # (train_model.py:25-35): drop to the fine LR for the tail
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state, lr_fine)
+            )
+            print(f"# {family} epoch {epoch}: lr -> {lr_fine}", flush=True)
         rng = np.random.default_rng(seed * 100003 + epoch)
         ratio = float(np.clip(rng.normal(dropout, dropout_std), 0, 0.9))
         ds = KittiDataset(root, cfg.data.seq_len, ["00", "01"],
@@ -143,6 +152,10 @@ def main():
     ap.add_argument("--eval_dropouts", nargs="+", type=float,
                     default=[0.0, 0.3, 0.5, 0.7])
     ap.add_argument("--run_times", type=int, default=3)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lr_fine", type=float, default=None,
+                    help="LR for the last third of the epochs (miniature "
+                         "of the reference's warmup/joint/fine schedule)")
     ap.add_argument("--n_frames", type=int, default=300)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tree", type=str, default=None,
@@ -171,7 +184,8 @@ def main():
     for family in args.families:
         model, variables = train_family(
             family, root, args.epochs, args.train_dropout,
-            args.train_dropout_std, args.seed)
+            args.train_dropout_std, args.seed, lr=args.lr,
+            lr_fine=args.lr_fine)
         all_rows += eval_family(family, model, variables, root,
                                 args.eval_dropouts, args.run_times,
                                 args.seed)

@@ -35,7 +35,7 @@ B = 32
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", nargs="+",
-                    default=["ode-rnn", "rnn", "cde", "rde", "cfc"])
+                    default=["ode-rnn", "rnn", "cde", "rde", "cfc", "ltc"])
     ap.add_argument("--use_pallas", action="store_true",
                     help="fused Pallas whole-solve kernels (ode-rnn/cde/rde)")
     ap.add_argument("--ab", action="store_true",

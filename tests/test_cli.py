@@ -104,6 +104,29 @@ def test_train_then_test_cli(kitti_root, tmp_path):
     assert "image_encoder" in v2["params"]
 
 
+def test_batched_runs_cli_matches_sequential(kitti_root, tmp_path):
+    """--batch_runs + --eval_dp: the run_times repetition loop fanned out
+    as mesh-sharded batch lanes must reproduce the sequential protocol."""
+    import re
+
+    from ode_vio_tpu.cli.test import main as test_main
+
+    save = tmp_path / "results"
+    common = ["--data_dir", str(kitti_root), "--save_dir", str(save),
+              "--run_times", "2", "--eval_data_dropout", "0.3",
+              *TINY_FLAGS]
+    test_main(["--experiment_name", "seqr", *common])
+    test_main(["--experiment_name", "batr", "--batch_runs",
+               "--eval_dp", "4", *common])
+    s_seq = (save / "seqr_test" / "summary.txt").read_text()
+    s_bat = (save / "batr_test" / "summary.txt").read_text()
+    assert "seq 05" in s_bat
+    f_seq = [float(x) for x in re.findall(r"-?\d+\.\d+", s_seq)]
+    f_bat = [float(x) for x in re.findall(r"-?\d+\.\d+", s_bat)]
+    assert len(f_seq) == len(f_bat) > 0
+    np.testing.assert_allclose(f_bat, f_seq, rtol=5e-3, atol=1e-4)
+
+
 def test_resume_from_checkpoint(kitti_root, tmp_path):
     from ode_vio_tpu.cli.train import main as train_main
 

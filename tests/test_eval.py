@@ -190,3 +190,87 @@ class TestBatchedEvaluator:
         for a, b in zip(seq_res, bat_res):
             for k in ("t_rmse", "r_rmse"):
                 assert a[k] == pytest.approx(b[k], rel=1e-4, abs=1e-6)
+
+
+class TestMultiRunEval:
+    """eval_runs: the reference's sequential --run_times repetition loop
+    (test_model.py:101-128) fanned out as batch lanes, optionally sharded
+    over a device mesh."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, tmp_path_factory):
+        root = make_kitti_tree(tmp_path_factory.mktemp("kitti_runs"),
+                               seqs=("00", "05"), n_frames=30,
+                               img_hw=(32, 64))
+        import jax
+
+        from ode_vio_tpu.config import Config, DataConfig, ModelConfig, SolverConfig
+        from ode_vio_tpu.models.deepvio import init_model
+        from ode_vio_tpu.training.loop import make_infer_fn
+
+        cfg = Config(
+            model=ModelConfig(model_type="ode-rnn", img_w=64, img_h=32,
+                              seq_len=5, v_f_len=32, i_f_len=16,
+                              ode_hidden_dim=16, rnn_num_layers=2,
+                              compute_dtype="float32"),
+            solver=SolverConfig(max_steps=8, dt0=1e-2),
+            data=DataConfig(seq_len=5),
+        )
+        model, variables = init_model(cfg, jax.random.PRNGKey(0))
+        infer = make_infer_fn(model, variables)
+
+        def evaluators(n_runs, dropout=0.25):
+            return [
+                KittiEvaluator(root, val_seqs=("00", "05"), seq_len=5,
+                               img_hw=(32, 64), eval_dropout=dropout,
+                               rng=np.random.default_rng(100 + r))
+                for r in range(n_runs)
+            ]
+
+        return infer, evaluators
+
+    def test_matches_sequential_runs(self, setup):
+        from ode_vio_tpu.data.evaluation import eval_runs
+
+        infer, make_evs = setup
+        # sequential baseline: each run's evaluator streamed on its own
+        seq_runs = [ev.eval(infer, batched=True) for ev in make_evs(3)]
+        # identical rng draws -> identical partitions, now as 6 lanes
+        bat_runs = eval_runs(infer, make_evs(3))
+        assert len(bat_runs) == 3
+        for run_a, run_b in zip(seq_runs, bat_runs):
+            for a, b in zip(run_a, run_b):
+                for k in ("t_rmse", "r_rmse"):
+                    assert a[k] == pytest.approx(b[k], rel=1e-4, abs=1e-6)
+
+    def test_sharded_with_padding(self, setup):
+        """3 runs x 2 seqs = 6 lanes pad to 8 and shard over the full
+        8-device mesh; results must match the unsharded stream."""
+        import jax
+
+        from ode_vio_tpu.data.evaluation import eval_runs
+        from ode_vio_tpu.parallel.mesh import batch_sharding, create_mesh
+
+        infer, make_evs = setup
+        assert len(jax.devices()) == 8
+        mesh = create_mesh(data=8, model=1)
+        plain = eval_runs(infer, make_evs(3))
+        sharded = eval_runs(infer, make_evs(3),
+                            sharding=batch_sharding(mesh), pad_to=8)
+        for run_a, run_b in zip(plain, sharded):
+            for a, b in zip(run_a, run_b):
+                for k in ("t_rel", "r_rel", "t_rmse", "r_rmse"):
+                    if np.isnan(a[k]) and np.isnan(b[k]):
+                        continue
+                    assert a[k] == pytest.approx(b[k], rel=1e-3, abs=1e-5)
+
+    def test_results_assigned_per_evaluator(self, setup):
+        from ode_vio_tpu.data.evaluation import eval_runs
+
+        infer, make_evs = setup
+        evs = make_evs(2)
+        runs = eval_runs(infer, evs)
+        for ev, run in zip(evs, runs):
+            assert len(ev.results) == 2  # one per sequence: plots work
+            assert run[0]["t_rmse"] == pytest.approx(
+                ev.results[0]["t_rmse"])

@@ -65,6 +65,30 @@ class TestStreamingEngine:
             np.testing.assert_allclose(out[a], ref_a[k], rtol=1e-5, atol=1e-6)
             np.testing.assert_allclose(out[b], ref_b[k], rtol=1e-5, atol=1e-6)
 
+    def test_mesh_sharded_matches_unsharded(self, model_and_vars):
+        """Lanes sharded over the 8-device data mesh must serve byte-for-
+        byte the same session semantics as the single-device engine."""
+        from ode_vio_tpu.parallel.mesh import batch_sharding, create_mesh
+
+        model, variables = model_and_vars
+        assert len(jax.devices()) == 8
+        mesh = create_mesh(data=8, model=1)
+        a_wins = [window(71, 0.0), window(72, 0.6)]
+        b_wins = [window(81, 2.0), window(82, 2.7)]
+
+        plain = StreamingEngine(model, variables, max_sessions=8)
+        shard = StreamingEngine(model, variables, max_sessions=8,
+                                sharding=batch_sharding(mesh))
+        pa, pb = plain.open_session(), plain.open_session()
+        sa, sb = shard.open_session(), shard.open_session()
+        for k in range(2):
+            out_p = plain.step({pa: a_wins[k], pb: b_wins[k]})
+            out_s = shard.step({sa: a_wins[k], sb: b_wins[k]})
+            np.testing.assert_allclose(out_s[sa], out_p[pa],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(out_s[sb], out_p[pb],
+                                       rtol=1e-5, atol=1e-6)
+
     def test_idle_session_state_preserved(self, model_and_vars):
         model, variables = model_and_vars
         b_wins = [window(21, 0.0), window(22, 0.4)]

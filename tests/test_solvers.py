@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from ode_vio_tpu.ops.solvers import SolverOptions, solve_at, solve_ivp, solve_ivp_adjoint
-from ode_vio_tpu.ops.solvers.odeint import rk_step
+from ode_vio_tpu.ops.solvers.odeint import MULTISTEP_METHODS, rk_step
 from ode_vio_tpu.ops.solvers.tableaus import TABLEAUS, get_tableau
 
 DECAY = -0.7
@@ -349,6 +349,149 @@ class TestTableaus:
 
     def test_alias(self):
         assert get_tableau("runge_kutta").name == "rk4"
+        # torchdiffeq's adaptive_heun IS Heun + embedded-Euler error
+        assert get_tableau("adaptive_heun").name == "heun"
+
+    def test_fehlberg2_adaptive(self):
+        # RKF1(2)'s embedded pair has a famously small error constant
+        # (err = dt*(k3-k1)/512), so the controller's realised error runs
+        # ~2 orders looser than rtol — same behaviour as torchdiffeq's
+        # fehlberg2; test at a correspondingly tight rtol.
+        opts = SolverOptions(method="fehlberg2", rtol=1e-6, atol=1e-9,
+                             max_steps=4096, dt0=0.01, unroll_mode="while")
+        y1, stats = solve_ivp(f_decay, jnp.ones(3), 0.0, 2.0, opts)
+        np.testing.assert_allclose(np.asarray(y1), np.exp(DECAY * 2.0),
+                                   rtol=3e-3)
+        assert int(stats.accepted) > 0
+
+    def test_fehlberg2_convergence_order(self):
+        errs = []
+        for n in (16, 32):
+            opts = SolverOptions(method="fehlberg2", adaptive=False,
+                                 fixed_steps=n)
+            y1, _ = solve_ivp(f_decay, jnp.ones(()), 0.0, 2.0, opts)
+            errs.append(abs(float(y1) - np.exp(DECAY * 2.0)))
+        assert 1.7 < np.log2(errs[0] / errs[1]) < 2.6
+
+
+class TestAdamsMultistep:
+    """torchdiffeq fixed-grid method strings explicit_adams /
+    implicit_adams (used by the reference's experiment diary through the
+    --cde_solver flag, /root/reference/results/log.txt)."""
+
+    @pytest.mark.parametrize("method", ["explicit_adams", "implicit_adams"])
+    def test_accuracy_and_stats(self, method):
+        opts = SolverOptions(method=method, adaptive=False, fixed_steps=64)
+        y1, stats = jax.jit(
+            lambda y: solve_ivp(f_decay, y, 0.0, 2.0, opts)
+        )(jnp.ones(3))
+        np.testing.assert_allclose(np.asarray(y1), np.exp(DECAY * 2.0),
+                                   rtol=1e-5)
+        assert int(stats.accepted) == 64
+        assert int(stats.incomplete) == 0
+
+    @pytest.mark.parametrize("method", ["explicit_adams", "implicit_adams"])
+    def test_convergence_order_4(self, method):
+        # halving dt must reduce error ~16x (both AB4 and ABM4 are order 4)
+        errs = []
+        with jax.enable_x64():
+            for n in (32, 64):
+                opts = SolverOptions(method=method, adaptive=False,
+                                     fixed_steps=n)
+                y1, _ = solve_ivp(
+                    f_decay, jnp.ones((), jnp.float64), 0.0, 2.0, opts
+                )
+                errs.append(abs(float(y1) - np.exp(DECAY * 2.0)))
+        assert 3.5 < np.log2(errs[0] / errs[1]) < 4.8
+
+    def test_exact_on_cubic_rhs(self):
+        # AB4/AM4 (and the RK4 startup) integrate t-polynomials up to
+        # degree 3 exactly: y' = 4 t^3 -> y(1) = 1
+        f = lambda t, y: 4.0 * t**3 * jnp.ones_like(y)
+        for method in MULTISTEP_METHODS:
+            opts = SolverOptions(method=method, adaptive=False, fixed_steps=7)
+            y1, _ = solve_ivp(f, jnp.zeros(()), 0.0, 1.0, opts)
+            np.testing.assert_allclose(float(y1), 1.0, rtol=2e-6)
+
+    def test_implicit_differs_from_explicit(self):
+        opts_e = SolverOptions(method="explicit_adams", adaptive=False,
+                               fixed_steps=8)
+        opts_i = SolverOptions(method="implicit_adams", adaptive=False,
+                               fixed_steps=8)
+        y_e, _ = solve_ivp(f_decay, jnp.ones(()), 0.0, 2.0, opts_e)
+        y_i, _ = solve_ivp(f_decay, jnp.ones(()), 0.0, 2.0, opts_i)
+        assert float(y_e) != float(y_i)
+        # the PECE corrector must improve the prediction
+        exact = np.exp(DECAY * 2.0)
+        assert abs(float(y_i) - exact) < abs(float(y_e) - exact)
+
+    def test_short_grid_falls_back_to_rk4(self):
+        # n <= 3 is pure RK4 startup
+        opts = SolverOptions(method="implicit_adams", adaptive=False,
+                             fixed_steps=2)
+        y1, stats = solve_ivp(f_decay, jnp.ones(()), 0.0, 0.5, opts)
+        np.testing.assert_allclose(float(y1), np.exp(DECAY * 0.5), rtol=1e-5)
+        assert int(stats.accepted) == 2
+
+    def test_method_string_forces_fixed_grid(self):
+        """adaptive=True + a multistep method string must behave as the
+        fixed-grid method (torchdiffeq semantics: rtol/atol ignored),
+        through every entry point."""
+        from ode_vio_tpu.ops.solvers.odeint import solve_ivp_batched_dt, solve_ivp_dt
+
+        opts_a = SolverOptions(method="implicit_adams", adaptive=True,
+                               fixed_steps=16)
+        opts_f = dataclasses.replace(opts_a, adaptive=False)
+        y_a, _, _ = solve_ivp_dt(f_decay, jnp.ones(()), 0.0, 1.0, opts_a)
+        y_f, _, _ = solve_ivp_dt(f_decay, jnp.ones(()), 0.0, 1.0, opts_f)
+        assert float(y_a) == float(y_f)
+
+        y0 = jnp.ones((4, 3))
+        t0 = jnp.zeros(4)
+        t1 = jnp.ones(4)
+        yb, _, stats = solve_ivp_batched_dt(f_decay, y0, t0, t1, opts_a)
+        np.testing.assert_allclose(np.asarray(yb), np.exp(DECAY), rtol=1e-5)
+        assert np.all(np.asarray(stats.accepted) == 16)
+
+    def test_from_config_normalizes_adaptive(self):
+        from ode_vio_tpu.config import SolverConfig
+
+        cfg = SolverConfig(method="implicit_adams", adaptive=True)
+        assert SolverOptions.from_config(cfg).adaptive is False
+
+    def test_solve_at_multistep(self):
+        opts = SolverOptions(method="implicit_adams", adaptive=False,
+                             fixed_steps=16)
+        ts = jnp.array([0.0, 0.5, 1.0, 2.0])
+        ys, stats = solve_at(f_decay, jnp.ones(()), ts, opts)
+        np.testing.assert_allclose(
+            np.asarray(ys), np.exp(DECAY * np.asarray(ts[1:])), rtol=1e-5
+        )
+        assert int(stats.accepted) == 16 * 3
+
+    def test_gradients_flow(self):
+        opts = SolverOptions(method="implicit_adams", adaptive=False,
+                             fixed_steps=12)
+
+        def loss(a):
+            y1, _ = solve_ivp(lambda t, y: a * y, jnp.ones(()), 0.0, 1.0,
+                              opts)
+            return y1
+
+        g = float(jax.grad(loss)(jnp.asarray(-0.3)))
+        # d/da exp(a) at a=-0.3
+        np.testing.assert_allclose(g, np.exp(-0.3), rtol=1e-4)
+
+    def test_pytree_state(self):
+        opts = SolverOptions(method="explicit_adams", adaptive=False,
+                             fixed_steps=32)
+        y0 = {"a": jnp.ones(2), "b": (jnp.zeros(()), jnp.ones((3, 1)))}
+        y1, _ = solve_ivp(lambda t, y: jax.tree_util.tree_map(
+            lambda x: DECAY * x, y), y0, 0.0, 1.0, opts)
+        np.testing.assert_allclose(
+            np.asarray(y1["a"]), np.exp(DECAY), rtol=1e-5
+        )
+        np.testing.assert_allclose(np.asarray(y1["b"][0]), 0.0)
 
 
 class TestSolveAt:
