@@ -42,7 +42,9 @@ import jax.numpy as jnp
 from ode_vio_tpu.config import ModelConfig, SolverConfig
 from ode_vio_tpu.models.common import KAIMING, PoseRegressor
 from ode_vio_tpu.models.fusion import FusionModule
-from ode_vio_tpu.ops.interpolation import cdeint, cdeint_fused, make_path
+from ode_vio_tpu.ops.interpolation import (
+    cdeint_batched, cdeint_fused, make_path,
+)
 from ode_vio_tpu.ops.mlp import apply_cde_func, cde_func_sizes, init_mlp
 from ode_vio_tpu.ops.solvers import SolverOptions
 
@@ -143,11 +145,12 @@ class PoseCDE(nn.Module):
             self.sow("intermediates", "cde_solves_incomplete",
                      stats.incomplete.reshape(zs.shape[0], -1).sum(1))
         else:
-            def solve_one(obs_i, knots_i, z0_i):
-                path = make_path(knots_i, obs_i, cfg.cde_interpolation)
-                return cdeint(path, g, z0_i, knots_i, opts)
-
-            zs, stats = jax.vmap(solve_one)(obs, knots, z0)   # (B, S-1, H)
+            # solver loop hoisted above the batch axis: early-exit chunks
+            # + per-chunk remat apply (the flagship's train-solve
+            # economics; see ops/interpolation.py::cdeint_batched)
+            zs, stats = cdeint_batched(
+                g, z0, knots, obs, knots, cfg.cde_interpolation, opts
+            )                                                 # (B, S-1, H)
             self.sow("intermediates", "cde_steps_accepted",
                      jnp.sum(stats.accepted))
             # per batch lane (B,) so serving can attribute truncations
@@ -199,13 +202,10 @@ class PoseCDE(nn.Module):
             if fused is not None:
                 z0 = fused(z0, evict[:, :, 0], evict, evict[:, :, 0])[0][:, -1]
             else:
-                def advance_one(seg_i, z0_i):
-                    path = make_path(seg_i[:, 0], seg_i,
-                                     cfg.cde_interpolation)
-                    zs, _ = cdeint(path, g, z0_i, seg_i[:, 0], opts)
-                    return zs[-1]
-
-                z0 = jax.vmap(advance_one)(evict, z0)
+                z0 = cdeint_batched(
+                    g, z0, evict[:, :, 0], evict, evict[:, :, 0],
+                    cfg.cde_interpolation, opts,
+                )[0][:, -1]
 
             buf = jnp.roll(buf, -T, axis=1).at[:, K - T :].set(obs)
             cnt = jnp.minimum(cnt + T, K)
@@ -222,11 +222,10 @@ class PoseCDE(nn.Module):
         if fused is not None:
             zs_all, stats = fused(z0, buf[:, :, 0], buf, buf[:, :, 0])
         else:
-            def solve_one(buf_i, z0_i):
-                path = make_path(buf_i[:, 0], buf_i, cfg.cde_interpolation)
-                return cdeint(path, g, z0_i, buf_i[:, 0], opts)
-
-            zs_all, stats = jax.vmap(solve_one)(buf, z0)
+            zs_all, stats = cdeint_batched(
+                g, z0, buf[:, :, 0], buf, buf[:, :, 0],
+                cfg.cde_interpolation, opts,
+            )
         self.sow("intermediates", "cde_steps_accepted",
                  jnp.sum(stats.accepted))
         self.sow("intermediates", "cde_solves_incomplete",

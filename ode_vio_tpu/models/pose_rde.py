@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ode_vio_tpu.config import ModelConfig, SolverConfig
 from ode_vio_tpu.models.common import KAIMING, PoseRegressor
 from ode_vio_tpu.models.fusion import FusionModule
-from ode_vio_tpu.ops.interpolation import cdeint, cdeint_fused, make_path
+from ode_vio_tpu.ops.interpolation import cdeint_batched, cdeint_fused
 from ode_vio_tpu.ops.logsig import logsig_dim, logsig_windows
 from ode_vio_tpu.ops.mlp import apply_cde_func, cde_func_sizes, init_mlp
 from ode_vio_tpu.ops.solvers import SolverOptions
@@ -97,16 +97,6 @@ class PoseRDE(nn.Module):
                 eval_ts_, "linear", opts,
             )
 
-        def solve_one(obs_i, knots_i, eval_ts_i, z0_i):
-            # window-compressed logsig path (log-ODE method, PoseRDE.py:88)
-            ys, t_new = logsig_windows(
-                obs_i, knots_i, depth=cfg.logsig_depth,
-                window=cfg.logsig_window,
-            )
-            path = make_path(t_new, ys, "linear")
-            zs, stats = cdeint(path, g, z0_i, eval_ts_i, opts)
-            return zs, stats
-
         if history_mode:
             return self._history_step(
                 obs, knots, prev, initial, g, opts,
@@ -119,15 +109,20 @@ class PoseRDE(nn.Module):
             z0 = prev
             _ = initial(obs[:, 0])
 
+        # window-compressed logsig path (log-ODE method, PoseRDE.py:88)
+        ys, t_new = jax.vmap(
+            lambda o, k: logsig_windows(
+                o, k, depth=cfg.logsig_depth, window=cfg.logsig_window
+            )
+        )(obs, knots)
         if use_fused:
-            ys, t_new = jax.vmap(
-                lambda o, k: logsig_windows(
-                    o, k, depth=cfg.logsig_depth, window=cfg.logsig_window
-                )
-            )(obs, knots)
             zs, stats = fused(z0, t_new, ys, knots)
         else:
-            zs, stats = jax.vmap(solve_one)(obs, knots, knots, z0)
+            # solver loop hoisted above the batch axis: early-exit chunks
+            # + per-chunk remat apply (ops/interpolation.py::cdeint_batched)
+            zs, stats = cdeint_batched(
+                g, z0, t_new, ys, knots, "linear", opts
+            )
         self.sow("intermediates", "rde_steps_accepted", jnp.sum(stats.accepted))
         # per batch lane (B,) so serving can attribute truncations
         self.sow("intermediates", "rde_solves_incomplete",
@@ -200,12 +195,9 @@ class PoseRDE(nn.Module):
             if fused is not None:
                 z0 = fused(z0, ev_t, ev_y, ev_t)[0][:, -1]
             else:
-                def advance_one(t_i, y_i, z0_i):
-                    path = make_path(t_i, y_i, "linear")
-                    zs, _ = cdeint(path, g, z0_i, t_i, opts)
-                    return zs[-1]
-
-                z0 = jax.vmap(advance_one)(ev_t, ev_y, z0)
+                z0 = cdeint_batched(
+                    g, z0, ev_t, ev_y, ev_t, "linear", opts
+                )[0][:, -1]
 
             # append, continuing the cumulative signature path from the
             # buffer's tail value
@@ -235,11 +227,9 @@ class PoseRDE(nn.Module):
         if fused is not None:
             zs_all, stats = fused(z0, buf_t, buf_y, eval_ts)
         else:
-            def solve_one(t_i, y_i, z0_i, eval_ts_i):
-                path = make_path(t_i, y_i, "linear")
-                return cdeint(path, g, z0_i, eval_ts_i, opts)
-
-            zs_all, stats = jax.vmap(solve_one)(buf_t, buf_y, z0, eval_ts)
+            zs_all, stats = cdeint_batched(
+                g, z0, buf_t, buf_y, eval_ts, "linear", opts
+            )
         zs = zs_all[:, -T:]                                       # (B,T,H)
         self.sow("intermediates", "rde_steps_accepted",
                  jnp.sum(stats.accepted))

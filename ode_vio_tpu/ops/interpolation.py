@@ -122,6 +122,68 @@ def cdeint(
     return solve_at(ode_func, z0, ts, opts)
 
 
+def cdeint_batched(
+    func: Callable[[jnp.ndarray], jnp.ndarray],
+    z0: jnp.ndarray,        # (B, H)
+    ts: jnp.ndarray,        # (B, T) path knot times
+    xs: jnp.ndarray,        # (B, T, C) path observations
+    eval_ts: jnp.ndarray,   # (B, E) evaluation times
+    kind: str,
+    opts: SolverOptions = SolverOptions(),
+) -> tuple[jnp.ndarray, Stats]:
+    """Batched ``vmap(cdeint)`` restructured so the solver loop runs ABOVE
+    the batch axis (:func:`ode_vio_tpu.ops.solvers.odeint.solve_ivp_batched_dt`
+    with the per-lane control paths as ``lane_args``). Iterates are
+    identical to ``jax.vmap`` of :func:`cdeint` (per-lane masked updates),
+    but:
+
+    * ``'bounded'`` mode (training) gets the chunked early exit and
+      per-chunk rematerialisation — the step cost and AD residuals pay
+      for steps actually taken instead of ``max_steps_train`` per segment
+      per lane (under ``vmap`` the early-exit ``lax.cond`` would lower to
+      ``select`` and run both branches; this hoisting is what made the
+      flagship's train solve cheap, BENCH.md round 3 — the cde/rde train
+      path previously missed it).
+    * ``'while'`` mode runs one loop with a scalar any-active predicate.
+
+    Returns ``(zs (B, E, H), Stats)`` with per-lane ``(B,)`` stats —
+    the same contract as :func:`cdeint_fused`.
+    """
+    import jax
+    from jax import lax
+
+    paths = jax.vmap(lambda t, x: make_path(t, x, kind))(ts, xs)
+    arrays = tuple(paths)
+
+    def fn(t, z, lane_path):
+        pth = InterpolatedPath(*lane_path)
+        return func(z) @ pth.derivative(t)
+
+    B = z0.shape[0]
+    eval_ts = jnp.asarray(eval_ts)
+    # segment 0 runs path.t0 -> eval[0]; segment j runs eval[j-1] -> eval[j]
+    seg_t0 = jnp.concatenate([ts[:, :1], eval_ts[:, :-1]], axis=1)  # (B, E)
+    dt0 = jnp.full((B,), opts.dt0, jnp.float32)
+
+    from ode_vio_tpu.ops.solvers.odeint import solve_ivp_batched_dt
+
+    def seg(carry, bounds):
+        z, dt = carry
+        t0s, t1s = bounds
+        z1, dt_next, stats = solve_ivp_batched_dt(
+            fn, z, t0s, t1s, opts, dt, lane_args=arrays
+        )
+        return (z1, dt_next), (z1, stats)
+
+    (_, _), (zs, stats) = lax.scan(
+        seg, (z0, dt0), (seg_t0.T, eval_ts.T)
+    )
+    total = Stats(
+        stats.accepted.sum(0), stats.rejected.sum(0), stats.incomplete.sum(0)
+    )
+    return jnp.swapaxes(zs, 0, 1), total
+
+
 def cdeint_fused(
     field_params,
     activation: str,

@@ -419,6 +419,7 @@ def solve_ivp_batched_dt(
     t1,
     opts: SolverOptions = SolverOptions(),
     dt0=None,
+    lane_args: Pytree = None,
 ):
     """Batched adaptive solve with chunked early exit — the
     reverse-differentiable counterpart of torchode's batch solve that does
@@ -437,8 +438,21 @@ def solve_ivp_batched_dt(
     (~2-3 accepted steps/solve) this cuts most of the masked-scan waste of
     a generous ``max_steps_train`` budget.
 
+    ``lane_args``: optional pytree of PER-LANE auxiliary data (leading
+    axis ``N``), passed through to ``func(t, y, lane_arg)`` — e.g. each
+    lane's control-path coefficients in a batched CDE solve (the vector
+    field then differs per lane, which a plain closure cannot express
+    under the hoisted scan). Gradients flow to ``lane_args`` normally.
+    When supplied, ``func`` must take the third argument.
+
     Returns ``(y1, dt_final, stats)`` with per-lane ``(N,)`` stats.
     """
+    if lane_args is None:
+        fn = lambda t, y, _la: func(t, y)
+        la = jnp.zeros_like(jnp.asarray(t0, jnp.float32))
+    else:
+        fn = func
+        la = lane_args
     dt0 = (
         jnp.full_like(jnp.asarray(t0, jnp.float32), opts.dt0)
         if dt0 is None
@@ -449,16 +463,22 @@ def solve_ivp_batched_dt(
         or opts.method in MULTISTEP_METHODS
     ):
         return jax.vmap(
-            lambda y, a, b, d: solve_ivp_dt(func, y, a, b, opts, d)
-        )(y0, t0, t1, dt0)
+            lambda y, a, b, d, l: solve_ivp_dt(
+                lambda t, yy: fn(t, yy, l), y, a, b, opts, d
+            )
+        )(y0, t0, t1, dt0, la)
 
     tab = opts.tableau
     t1 = jnp.asarray(t1, dtype=jnp.result_type(t1, jnp.float32))
     state = jax.vmap(
-        lambda y, a, d: _init_state(func, y, a, d, tab)
-    )(y0, t0, dt0)
+        lambda y, a, d, l: _init_state(
+            lambda t, yy: fn(t, yy, l), y, a, d, tab
+        )
+    )(y0, t0, dt0, la)
     vbody = jax.vmap(
-        lambda tt, s: _adaptive_step_body(func, tt, opts, s)
+        lambda tt, s, l: _adaptive_step_body(
+            lambda t, yy: fn(t, yy, l), tt, opts, s
+        )
     )
 
     def active(s: _State) -> jnp.ndarray:  # (N,) bool
@@ -471,7 +491,7 @@ def solve_ivp_batched_dt(
         return _State(*jax.tree_util.tree_map(sel, tuple(new), tuple(old)))
 
     def inner(s: _State, _):
-        return masked(active(s), vbody(t1, s), s), None
+        return masked(active(s), vbody(t1, s, la), s), None
 
     if opts.unroll_mode == "while":
         # batched while: one loop, scalar any-active predicate
