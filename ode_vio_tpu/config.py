@@ -227,6 +227,19 @@ class TrainConfig:
     lr_regressor: float | None = None
     gradient_clip: float = 5.0
     freeze_encoder: bool = False
+    # With freeze_encoder: run the frozen image encoder in INFERENCE mode
+    # inside the train step — BatchNorm statistics folded into the conv
+    # bias (BN ops leave the graph, models/fold.py) and trunk dropout off.
+    # The reference keeps the frozen FlowNet in torch train mode as a side
+    # effect of model.train() (train_model.py:191-194: requires_grad=False
+    # stops gradients but not dropout/BN-stat updates); freezing a
+    # backbone in eval mode is the standard fine-tuning practice (frozen
+    # features become deterministic and running statistics stop drifting
+    # toward the fine-tuning batches). It is also the fast path: the
+    # trunk's train-mode dropout masks are ~27 ms of the 77 ms flagship
+    # step (BENCH.md round 3). Off by default for exact reference
+    # semantics; has no effect unless freeze_encoder is set.
+    frozen_encoder_eval: bool = False
     seed: int = 0
     print_frequency: int = 10
     ckpt_every: int = 2          # save every N epochs (train_model.py:223)

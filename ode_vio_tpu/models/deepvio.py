@@ -76,6 +76,22 @@ class DeepVIO(nn.Module):
         """Encoder-only entry (useful for feature caching / profiling)."""
         return self.image_net(img, train=train), self.inertial_net(imu, train=train)
 
+    def pose_from_visual(
+        self,
+        fv: jnp.ndarray,
+        imu: jnp.ndarray,
+        ts: jnp.ndarray,
+        hc: Optional[Any] = None,
+        train: bool = False,
+    ):
+        """Forward from precomputed visual features: inertial encoder +
+        pose core only. Used by the ``frozen_encoder_eval`` train step,
+        which computes ``fv`` through the BN-folded inference graph of the
+        frozen image encoder (training/loop.py) — the image encoder
+        submodule is untouched here."""
+        fi = self.inertial_net(imu, train=train)
+        return self.pose_net(fv, fi, ts, prev=hc, train=train)
+
 
 def create_model(config: Config) -> DeepVIO:
     return DeepVIO(

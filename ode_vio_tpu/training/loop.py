@@ -199,24 +199,72 @@ def make_train_step(model, tx, cfg: Config) -> Callable:
     slots are filled with zeros for the optimizer (whose 'frozen' group is
     ``set_to_zero`` anyway), and BatchNorm statistics still update in the
     forward pass, exactly like torch train mode under requires_grad=False.
+
+    With ``frozen_encoder_eval`` on top, the frozen image encoder runs its
+    INFERENCE graph inside the train step: the (constant) BatchNorm
+    statistics are folded into the conv bias at trace time
+    (models/fold.py::fold_batchnorm_into_bias — a one-off elementwise pass
+    over the ~15M frozen weights, negligible next to the 1.5e9-element
+    activations it de-drops), trunk dropout is off, and the visual
+    features flow into ``DeepVIO.pose_from_visual``. Frozen features
+    become deterministic, image-encoder running statistics stop updating,
+    and the step sheds the trunk's train-mode dropout-mask cost
+    (cfg.train.frozen_encoder_eval docstring; BENCH.md round 4).
     """
     w = cfg.train.angle_loss_weight
     frozen_keys = ("image_encoder",) if cfg.train.freeze_encoder else ()
+    frozen_eval = (
+        cfg.train.freeze_encoder
+        and cfg.train.frozen_encoder_eval
+        # the fold targets the plain conv path; the variant encoders carry
+        # their own graphs (and all ship off by default)
+        and not (cfg.model.encoder_int8 or cfg.model.encoder_s2d
+                 or cfg.model.skip_bn)
+    )
+    if frozen_eval:
+        import dataclasses as _dc
+
+        from ode_vio_tpu.models.encoders import ImageEncoder
+        from ode_vio_tpu.models.fold import fold_batchnorm_into_bias
+
+        eval_image_net = ImageEncoder(_dc.replace(model.cfg, skip_bn=True))
 
     def loss_fn(trainable, frozen, batch_stats, img, imu, gts, ts, rngs):
         params = {**trainable, **frozen}
-        (poses, _), updates = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            img, imu, ts,
-            train=True,
-            rngs=rngs,
-            mutable=["batch_stats", "intermediates"],
-        )
+        if frozen_eval:
+            folded = fold_batchnorm_into_bias({
+                "params": frozen["image_encoder"],
+                "batch_stats": dict(batch_stats).get("image_encoder", {}),
+            })
+            fv = eval_image_net.apply(
+                {"params": folded["params"]}, img, train=False
+            )
+            (poses, _), updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                fv, imu, ts,
+                train=True,
+                rngs=rngs,
+                mutable=["batch_stats", "intermediates"],
+                method="pose_from_visual",
+            )
+            # the image encoder's statistics were never touched (that is
+            # the point) — carry them through unchanged
+            new_bs = {**dict(batch_stats),
+                      **dict(updates.get("batch_stats", {}))}
+        else:
+            (poses, _), updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                img, imu, ts,
+                train=True,
+                rngs=rngs,
+                mutable=["batch_stats", "intermediates"],
+            )
+            new_bs = updates["batch_stats"]
         angle = jnp.mean((poses[..., :3] - gts[..., :3]) ** 2)
         trans = jnp.mean((poses[..., 3:] - gts[..., 3:]) ** 2)
         loss = w * angle + trans
         incomplete = _sum_sown(updates.get("intermediates", {}), "incomplete")
-        return loss, (updates["batch_stats"], angle, trans, incomplete)
+        return loss, (new_bs, angle, trans, incomplete)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, img, imu, gts, ts):

@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--adjoint", action="store_true",
                     help="cde/rde: O(1)-memory continuous-adjoint gradients "
                          "instead of the bounded-scan discretize-then-optimize")
+    ap.add_argument("--frozen_eval", action="store_true",
+                    help="run the frozen image encoder in inference mode "
+                         "inside the train step (--frozen_encoder_eval: BN "
+                         "bias-folded, trunk dropout off)")
     args = ap.parse_args()
     B = args.batch
 
@@ -63,6 +67,11 @@ def main():
     ts = jnp.asarray(np.cumsum(
         rng.random((B, S)).astype(np.float32) * 0.05 + 0.08, 1))
     gts = jnp.asarray(rng.standard_normal((B, S - 1, 6)) * 0.1, jnp.float32)
+
+    if args.frozen_eval:
+        base = dataclasses.replace(
+            base, train=dataclasses.replace(
+                base.train, frozen_encoder_eval=True))
 
     for fam in args.families:
         cfg = dataclasses.replace(
@@ -106,7 +115,8 @@ def main():
                 "family": fam, "train_ms_per_step": round(w * 1e3, 2),
                 "train_frames_per_sec": round(B * (S - 1) / w, 1),
                 "incomplete_per_step": met["solver_incomplete"],
-                "adjoint": args.adjoint, "batch": B,
+                "adjoint": args.adjoint, "frozen_eval": args.frozen_eval,
+                "batch": B,
                 "compile_s": round(compile_s, 1),
             }), flush=True)
         except Exception as e:

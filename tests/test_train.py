@@ -244,6 +244,71 @@ class TestTrainStep:
             lambda a, b: bool((np.asarray(b) != a).any()), before, after)
         assert any(jax.tree_util.tree_leaves(changed))
 
+    def test_frozen_eval_step_semantics(self):
+        """frozen_encoder_eval: the frozen image encoder runs its
+        inference graph inside the train step — image params AND running
+        statistics stay bitwise constant (unlike torch train mode, whose
+        stats keep drifting: test_freeze_updates_encoder_batch_stats),
+        the inertial encoder still updates its statistics, and the pose
+        net still trains."""
+        cfg = tiny_config(freeze_encoder=True, frozen_encoder_eval=True)
+        model, tx, state = setup(cfg)
+        p0 = jax.tree_util.tree_map(np.asarray, state.params["image_encoder"])
+        bs0 = jax.tree_util.tree_map(
+            np.asarray, state.batch_stats["image_encoder"])
+        ibs0 = jax.tree_util.tree_map(
+            np.asarray, state.batch_stats["inertial_encoder"])
+        step = make_train_step(model, tx, cfg)
+        batch = tiny_batch()
+        losses = []
+        for _ in range(5):
+            state, m = step(state, *batch)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] and all(np.isfinite(losses))
+        for before, after in ((p0, state.params["image_encoder"]),
+                              (bs0, state.batch_stats["image_encoder"])):
+            assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+                lambda a, b: bool((np.asarray(b) == a).all()), before, after))
+        assert any(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+            lambda a, b: bool((np.asarray(b) != a).any()),
+            ibs0, state.batch_stats["inertial_encoder"])))
+
+    def test_frozen_eval_matches_explicit_composition(self):
+        """The frozen-eval step's loss must equal composing the public
+        pieces by hand: visual features from the UNFOLDED eval-mode
+        encoder forward, then pose_from_visual in train mode with the
+        step's own PRNG split (validates both the BN bias-fold exactness
+        and the wiring)."""
+        cfg = tiny_config(freeze_encoder=True, frozen_encoder_eval=True)
+        model, tx, state = setup(cfg)
+        batch = tiny_batch()
+        img, imu, gts, ts = batch
+        w = cfg.train.angle_loss_weight
+
+        _, r_drop, r_gumbel = jax.random.split(state.rng, 3)
+        rngs = {"dropout": r_drop, "gumbel": r_gumbel}
+        variables = {"params": jax.tree_util.tree_map(np.asarray,
+                                                      state.params),
+                     "batch_stats": jax.tree_util.tree_map(
+                         np.asarray, state.batch_stats)}
+        fv = model.apply(
+            variables, img,
+            method=lambda m, x: m.image_net(x, train=False),
+        )
+        (poses, _), _ = model.apply(
+            variables, fv, imu, ts, train=True, rngs=rngs,
+            mutable=["batch_stats", "intermediates"],
+            method="pose_from_visual",
+        )
+        angle = jnp.mean((poses[..., :3] - gts[..., :3]) ** 2)
+        trans = jnp.mean((poses[..., 3:] - gts[..., 3:]) ** 2)
+        loss_manual = float(w * angle + trans)
+
+        step = make_train_step(model, tx, cfg)
+        _, m = step(state, *batch)
+        np.testing.assert_allclose(float(m["loss"]), loss_manual,
+                                   rtol=1e-5, atol=1e-7)
+
     def test_grad_accumulation_defers_update(self):
         cfg = tiny_config(grad_accumulation_steps=2)
         model, tx, state = setup(cfg)
