@@ -6,6 +6,10 @@ set -euo pipefail
 DATA_DIR=${DATA_DIR:-./dataset}
 
 # --- ODE-VIO flagship (ODE-RNN; the reference's canonical config) -----------
+# Add --frozen_encoder_eval for the fast recipe: the frozen FlowNet runs its
+# inference graph inside the train step (BN folded, trunk dropout off) —
+# measured 76.9 -> 53.6 ms/step at B=32 on v5e (BENCH.md round 4). Off here
+# for exact reference train-mode semantics.
 python -m ode_vio_tpu.cli.train \
   --data_dir "$DATA_DIR" \
   --experiment_name ode_vio \
