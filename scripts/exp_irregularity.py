@@ -117,10 +117,23 @@ def train_family(family: str, root, epochs: int, dropout: float,
 
 
 def eval_family(family: str, model, variables, root, eval_dropouts,
-                run_times: int, seed: int):
+                run_times: int, seed: int, streaming_mode: str = "carry"):
+    import dataclasses
+
     from ode_vio_tpu.data.evaluation import KittiEvaluator
     from ode_vio_tpu.training.loop import make_infer_fn
 
+    if streaming_mode != "carry":
+        # the reference's CDE/RDE eval statefulness is the re-integrated
+        # HISTORY path (PoseCDE.py:87-92, PoseRDE.py:90-95); params are
+        # independent of the streaming mode, so the trained variables
+        # drop straight into the rebuilt model
+        model = type(model)(
+            cfg=dataclasses.replace(
+                model.cfg, cde_streaming_mode=streaming_mode,
+                rde_streaming_mode=streaming_mode),
+            solver=model.solver, cde_solver=model.cde_solver,
+        )
     infer = make_infer_fn(model, variables)
     rows = []
     for q in eval_dropouts:
@@ -134,7 +147,8 @@ def eval_family(family: str, model, variables, root, eval_dropouts,
             res = ev.eval(infer)[0]
             for k in per_run:
                 per_run[k].append(float(res[k]))
-        row = {"family": family, "eval_dropout": q, "runs": run_times}
+        row = {"family": family, "eval_dropout": q, "runs": run_times,
+               "mode": streaming_mode}
         for k, v in per_run.items():
             row[k] = round(float(np.mean(v)), 4)
             row[k + "_std"] = round(float(np.std(v)), 4)
@@ -160,6 +174,17 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tree", type=str, default=None,
                     help="reuse an existing synthetic tree")
+    ap.add_argument("--eval_modes", nargs="+", default=["carry"],
+                    choices=["carry", "history"],
+                    help="streaming-eval statefulness to evaluate (the "
+                         "reference's CDE/RDE eval is 'history'; 'carry' "
+                         "is this repo's O(T) default)")
+    ap.add_argument("--save_params", type=str, default=None,
+                    help="directory to pickle each family's trained "
+                         "variables into (re-evals without retraining)")
+    ap.add_argument("--load_params", type=str, default=None,
+                    help="directory of pickles from --save_params; skips "
+                         "training for families found there")
     args = ap.parse_args()
 
     from ode_vio_tpu.data.synthetic import make_kitti_tree
@@ -182,24 +207,48 @@ def main():
 
     all_rows = []
     for family in args.families:
-        model, variables = train_family(
-            family, root, args.epochs, args.train_dropout,
-            args.train_dropout_std, args.seed, lr=args.lr,
-            lr_fine=args.lr_fine)
-        all_rows += eval_family(family, model, variables, root,
-                                args.eval_dropouts, args.run_times,
-                                args.seed)
+        import pickle
+
+        pkl = (Path(args.load_params) / f"{family}.pkl"
+               if args.load_params else None)
+        if pkl is not None and pkl.exists():
+            import jax
+
+            from ode_vio_tpu.models.deepvio import create_model
+
+            variables = pickle.loads(pkl.read_bytes())
+            variables = jax.tree_util.tree_map(np.asarray, variables)
+            model = create_model(build_config(family))
+            print(f"# {family}: loaded trained params from {pkl}",
+                  flush=True)
+        else:
+            model, variables = train_family(
+                family, root, args.epochs, args.train_dropout,
+                args.train_dropout_std, args.seed, lr=args.lr,
+                lr_fine=args.lr_fine)
+        if args.save_params:
+            import jax
+
+            out = Path(args.save_params)
+            out.mkdir(parents=True, exist_ok=True)
+            host = jax.tree_util.tree_map(np.asarray, variables)
+            (out / f"{family}.pkl").write_bytes(pickle.dumps(host))
+        for mode in args.eval_modes:
+            all_rows += eval_family(family, model, variables, root,
+                                    args.eval_dropouts, args.run_times,
+                                    args.seed, streaming_mode=mode)
 
     # summary: degradation relative to each family's own 0%-dropout point.
     # t_rel needs >=100m segments; on short synthetic paths fall back to rmse.
     key = "t_rel" if all(np.isfinite(r["t_rel"]) for r in all_rows) else "t_rmse"
     rkey = "r_rel" if key == "t_rel" else "r_rmse"
-    print(f"\n# family | eval_dropout | {key} | {rkey} | {key} vs own 0%")
-    base = {r["family"]: r[key] for r in all_rows
+    print(f"\n# family/mode | eval_dropout | {key} | {rkey} | {key} vs own 0%")
+    base = {(r["family"], r["mode"]): r[key] for r in all_rows
             if r["eval_dropout"] == 0.0}
     for r in all_rows:
-        rel = r[key] / base[r["family"]] if base.get(r["family"]) else float("nan")
-        print(f"# {r['family']:8s} | {r['eval_dropout']:.1f} | "
+        k = (r["family"], r["mode"])
+        rel = r[key] / base[k] if base.get(k) else float("nan")
+        print(f"# {r['family']:8s}/{r['mode']:7s} | {r['eval_dropout']:.1f} | "
               f"{r[key]:8.3f} | {r[rkey]:7.3f} | {rel:6.2f}x")
 
 

@@ -47,6 +47,16 @@ def main():
                     help="run the frozen image encoder in inference mode "
                          "inside the train step (--frozen_encoder_eval: BN "
                          "bias-folded, trunk dropout off)")
+    ap.add_argument("--cde_rtol", type=float, default=None,
+                    help="override the cde/rde solver rtol (the reference "
+                         "default 1e-4 makes a RANDOM-INIT field truncate "
+                         "every solve; 1e-2 gives the tame few-steps-per-"
+                         "segment regime of a trained field)")
+    ap.add_argument("--budget", type=int, default=None,
+                    help="override max_steps_train (differentiable bounded-"
+                         "scan budget) — sweep to show the early-exit + "
+                         "remat economics: cost should track ACTUAL steps, "
+                         "not the budget, once lanes converge")
     args = ap.parse_args()
     B = args.batch
 
@@ -72,6 +82,17 @@ def main():
         base = dataclasses.replace(
             base, train=dataclasses.replace(
                 base.train, frozen_encoder_eval=True))
+    if args.cde_rtol is not None:
+        base = dataclasses.replace(
+            base, cde_solver_cfg=dataclasses.replace(
+                base.cde_solver_cfg, rtol=args.cde_rtol))
+    if args.budget is not None:
+        base = dataclasses.replace(
+            base,
+            solver=dataclasses.replace(
+                base.solver, max_steps_train=args.budget),
+            cde_solver_cfg=dataclasses.replace(
+                base.cde_solver_cfg, max_steps_train=args.budget))
 
     for fam in args.families:
         cfg = dataclasses.replace(
@@ -116,7 +137,8 @@ def main():
                 "train_frames_per_sec": round(B * (S - 1) / w, 1),
                 "incomplete_per_step": met["solver_incomplete"],
                 "adjoint": args.adjoint, "frozen_eval": args.frozen_eval,
-                "batch": B,
+                "batch": B, "cde_rtol": args.cde_rtol,
+                "budget": args.budget,
                 "compile_s": round(compile_s, 1),
             }), flush=True)
         except Exception as e:
