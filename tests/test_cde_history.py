@@ -96,6 +96,81 @@ class TestHistoryMode:
             make(history_cap=2)
 
 
+class TestTorchStreamingParity:
+    """Cross-framework pin of the history semantics: a 3-window stream
+    through our ring-buffer history mode must reproduce an
+    independently-written torch replica of the reference's eval behavior
+    (PoseCDE.py:87-103) — grow the observation path, keep z0 at the first
+    window's initial state, re-integrate the WHOLE path each window,
+    regress poses at the new window's knots. Both sides integrate
+    fixed-step euler over the linear control path so the comparison is
+    solver-exact (single-window conversion parity: test_convert_cores;
+    adaptive-solver parity: test_step_goldens). The cap (16) exceeds the
+    15 total observations, so nothing is evicted and the ring buffer must
+    equal the reference's unbounded append exactly."""
+
+    def test_three_window_stream_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        import dataclasses
+
+        from test_convert_cores import (
+            B, IF, S, SUB, VF, FIXED_EULER, TorchPoseCDE, euler_cdeint,
+            mcfg, sd_numpy,
+        )
+
+        from ode_vio_tpu.models.convert import convert_pose_net
+        from ode_vio_tpu.models.pose_cde import PoseCDE
+
+        torch.manual_seed(3)
+        t_model = TorchPoseCDE().eval()
+        params = convert_pose_net(sd_numpy(t_model), "cde", prefix="")
+        cfg = dataclasses.replace(
+            mcfg("cde"), cde_streaming_mode="history", cde_history_cap=16
+        )
+        model = PoseCDE(cfg=cfg, solver=FIXED_EULER)
+
+        rng = np.random.default_rng(7)
+        T = S - 1
+        # one continuous sequence clock; window k+1 starts at window k's
+        # last frame (the eval-partition boundary-sharing layout)
+        ts_all = np.cumsum(
+            rng.random((B, 3 * T + 1)).astype(np.float32) * 0.1 + 0.05, 1
+        )
+        hist = None
+        z0_t = None
+        carry = None
+        for k in range(3):
+            fv = rng.standard_normal((B, T, VF)).astype(np.float32)
+            fi = rng.standard_normal((B, T, IF)).astype(np.float32)
+            ts = ts_all[:, k * T : k * T + T + 1]
+
+            with torch.no_grad():
+                fused = torch.cat(
+                    [torch.from_numpy(fv), torch.from_numpy(fi)], -1
+                )
+                x = t_model.reduction_net(fused)
+                knots = torch.from_numpy(np.ascontiguousarray(ts[:, 1:]))
+                obs = torch.cat([knots.unsqueeze(-1), x], -1)
+                if hist is None:
+                    z0_t = t_model.initial(obs[:, 0])  # pinned forever
+                    hist = obs
+                else:
+                    hist = torch.cat([hist, obs], 1)   # unbounded append
+                zs = euler_cdeint(
+                    t_model.cde_func, z0_t, hist, hist[:, :, 0], SUB
+                )
+                t_poses = t_model.regressor(zs[:, -T:]).numpy()
+
+            j_poses, carry = model.apply(
+                {"params": params}, jnp.asarray(fv), jnp.asarray(fi),
+                jnp.asarray(ts), prev=carry, train=False,
+            )
+            np.testing.assert_allclose(
+                np.asarray(j_poses), t_poses, atol=3e-5,
+                err_msg=f"window {k}"
+            )
+
+
 class TestCapAccuracy:
     """Quantify the ring-buffer cap against the reference's UNCAPPED
     re-integration semantics (PoseCDE.py:87-92) on a long stream.
