@@ -143,10 +143,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cde_interpolation", type=str, default="linear",
                    choices=["linear", "cubic"])
     p.add_argument("--cde_streaming_mode", type=str, default="carry",
-                   choices=["carry", "history"],
-                   help="eval statefulness: carry last z (default) or the "
-                        "reference's re-integrated history ring buffer")
+                   choices=["carry", "history", "reset"],
+                   help="eval statefulness: carry last z (default), the "
+                        "reference's re-integrated history ring buffer, or "
+                        "reset (stateless windows — the training regime; "
+                        "measured most accurate for this family, BENCH.md)")
     p.add_argument("--cde_history_cap", type=int, default=64)
+    p.add_argument("--rde_streaming_mode", type=str, default="carry",
+                   choices=["carry", "history", "reset"],
+                   help="RDE eval statefulness (mirrors "
+                        "--cde_streaming_mode; history = accumulated "
+                        "log-signature path, PoseRDE.py:90-95)")
+    p.add_argument("--rde_history_cap", type=int, default=32)
     p.add_argument("--adjoint", action="store_true")
     p.add_argument("--rde_reduced_dim", type=int, default=8)
 
@@ -238,6 +246,8 @@ def config_from_args(args) -> Config:
             cde_interpolation=args.cde_interpolation,
             cde_streaming_mode=args.cde_streaming_mode,
             cde_history_cap=args.cde_history_cap,
+            rde_streaming_mode=args.rde_streaming_mode,
+            rde_history_cap=args.rde_history_cap,
             adjoint=args.adjoint,
             rde_reduced_dim=args.rde_reduced_dim,
             compute_dtype=args.compute_dtype,

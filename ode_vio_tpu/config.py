@@ -99,6 +99,13 @@ class ModelConfig:
     #             to the FIRST window's initial state, and re-integrate the
     #             whole buffered path every window (the reference grows it
     #             unboundedly; the cap keeps shapes static).
+    #   'reset'   — stateless streaming: every window starts fresh (z0 from
+    #             its first observation, window-local clock) — exactly the
+    #             regime training optimises. Measured to dominate both
+    #             stateful modes on eval accuracy for this family (~17x
+    #             lower t_rmse on the odometric fixture; BENCH.md round 4):
+    #             the carried-z distribution at eval is one training never
+    #             sees.
     cde_streaming_mode: str = "carry"
     cde_history_cap: int = 64
 
@@ -114,6 +121,8 @@ class ModelConfig:
     #             realised as a fixed-capacity ring buffer of
     #             `rde_history_cap` compressed-path knots with the carried
     #             z0 advanced exactly over evicted segments.
+    #   'reset'   — stateless streaming: every window starts fresh, the
+    #             training regime (see cde_streaming_mode).
     rde_streaming_mode: str = "carry"
     # Capacity in COMPRESSED knots: each knot summarises up to
     # `logsig_window` raw observations, so the default covers

@@ -19,7 +19,7 @@ Design notes / reference discrepancies (documented deliberately):
   mathematically intended irregular-sampling behaviour.
 * Control path: linear interpolation (reference) or cubic-Hermite
   (``cfg.cde_interpolation='cubic'``).
-* Streaming eval, two modes (``cfg.cde_streaming_mode``):
+* Streaming eval, three modes (``cfg.cde_streaming_mode``):
     - ``'carry'`` (default): the carried state is the last evaluated z and
       integration continues from it — O(T), static shapes, the
       mathematically consistent continuation (the reference's carried
@@ -29,6 +29,10 @@ Design notes / reference discrepancies (documented deliberately):
       state and re-integrate the whole path — realised TPU-natively as a
       fixed-capacity ring buffer (``cde_history_cap``) with zero-length
       masked prefix segments instead of an unbounded dynamic shape.
+    - ``'reset'``: stateless — every window starts fresh, exactly the
+      regime training optimises. Measured ~17x lower streaming t_rmse than
+      either stateful mode on the odometric fixture (BENCH.md round 4);
+      no reference equivalent (its eval is always stateful).
 """
 
 from __future__ import annotations
@@ -74,6 +78,14 @@ class PoseCDE(nn.Module):
         x = nn.Dense(H, kernel_init=KAIMING, name="reduction1")(x)
 
         ts = ts.astype(jnp.float32)
+        if (not train) and cfg.cde_streaming_mode == "reset":
+            # stateless streaming: every window runs the training regime
+            # (fresh z0 from its first observation, window-local clock).
+            # Measured to dominate both stateful modes on eval accuracy
+            # for this family (~17x lower t_rmse on the odometric fixture,
+            # BENCH.md round 4): the carried-z distribution at eval is one
+            # training never sees. The returned carry is ignored next call.
+            prev = None
         history_mode = (not train) and cfg.cde_streaming_mode == "history"
         if history_mode:
             ts_eff = ts  # sequence clock shared across the whole history

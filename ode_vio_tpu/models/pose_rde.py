@@ -57,6 +57,10 @@ class PoseRDE(nn.Module):
                      name="reduction")(fused)
 
         ts = ts.astype(jnp.float32)
+        if (not train) and cfg.rde_streaming_mode == "reset":
+            # stateless streaming: the training regime (see PoseCDE /
+            # config.ModelConfig.cde_streaming_mode 'reset' rationale)
+            prev = None
         history_mode = (not train) and cfg.rde_streaming_mode == "history"
         if history_mode:
             # sequence clock shared across the whole buffered history

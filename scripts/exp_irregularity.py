@@ -124,10 +124,12 @@ def eval_family(family: str, model, variables, root, eval_dropouts,
     from ode_vio_tpu.training.loop import make_infer_fn
 
     if streaming_mode != "carry":
-        # the reference's CDE/RDE eval statefulness is the re-integrated
-        # HISTORY path (PoseCDE.py:87-92, PoseRDE.py:90-95); params are
-        # independent of the streaming mode, so the trained variables
-        # drop straight into the rebuilt model
+        # 'history' is the reference's CDE/RDE eval statefulness (the
+        # re-integrated path, PoseCDE.py:87-92 / PoseRDE.py:90-95);
+        # 'reset' is the stateless training regime — a first-class
+        # cde/rde_streaming_mode since round 4. Params are independent of
+        # the streaming mode, so the trained variables drop straight into
+        # the rebuilt model (no-op fields for the non-CDE families).
         model = type(model)(
             cfg=dataclasses.replace(
                 model.cfg, cde_streaming_mode=streaming_mode,
@@ -135,6 +137,21 @@ def eval_family(family: str, model, variables, root, eval_dropouts,
             solver=model.solver, cde_solver=model.cde_solver,
         )
     infer = make_infer_fn(model, variables)
+    if streaming_mode == "reset":
+        # generic stateless wrapper so 'reset' also applies to families
+        # without a streaming-mode field (ode-rnn/rnn/cfc carry an RNN
+        # hidden state): discard the carry so every window starts fresh.
+        # For cde/rde this is identical to the model-level mode (which
+        # ignores prev); the carry-vs-reset delta attributes eval error to
+        # the carried-state distribution shift vs window-local accuracy.
+        inner = infer
+
+        def infer(img, imu, ts, carry=None, active=None):
+            return inner(img, imu, ts, None, active)
+
+        for attr in ("incomplete", "incomplete_by_lane",
+                     "reset_incomplete", "set_variables"):
+            setattr(infer, attr, getattr(inner, attr))
     rows = []
     for q in eval_dropouts:
         per_run = {k: [] for k in ("t_rel", "r_rel", "t_rmse", "r_rmse")}
@@ -175,7 +192,7 @@ def main():
     ap.add_argument("--tree", type=str, default=None,
                     help="reuse an existing synthetic tree")
     ap.add_argument("--eval_modes", nargs="+", default=["carry"],
-                    choices=["carry", "history"],
+                    choices=["carry", "history", "reset"],
                     help="streaming-eval statefulness to evaluate (the "
                          "reference's CDE/RDE eval is 'history'; 'carry' "
                          "is this repo's O(T) default)")

@@ -212,3 +212,31 @@ class TestCapAccuracy:
             f"rde history-cap drift {drift:.3e} exceeds 2% of pose scale "
             f"{scale:.3e}"
         )
+
+
+class TestResetMode:
+    """'reset' streaming mode (round 4): stateless windows — the training
+    regime (see tests/test_cde_history.py::TestResetMode)."""
+
+    def test_carry_is_ignored(self):
+        model, variables = make(mode="reset", logsig_window=2)
+        img1, imu1, ts1 = window(0, 0.0)
+        img2, imu2, ts2 = window(1, 1.0)
+        _, carry = model.apply(variables, img1, imu1, ts1, train=False,
+                               rngs=RNGS)
+        with_carry, _ = model.apply(variables, img2, imu2, ts2, hc=carry,
+                                    train=False, rngs=RNGS)
+        fresh, _ = model.apply(variables, img2, imu2, ts2, train=False,
+                               rngs=RNGS)
+        np.testing.assert_array_equal(np.asarray(with_carry),
+                                      np.asarray(fresh))
+
+    def test_matches_cold_start_of_carry_mode(self):
+        m_reset, v = make(mode="reset", logsig_window=2)
+        m_carry, _ = make(mode="carry", logsig_window=2)
+        img, imu, ts = window(3, 5.0)
+        bogus = jnp.ones((2, 6), jnp.float32)
+        r, _ = m_reset.apply(v, img, imu, ts, hc=bogus, train=False,
+                             rngs=RNGS)
+        c, _ = m_carry.apply(v, img, imu, ts, train=False, rngs=RNGS)
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(c))
