@@ -172,6 +172,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "mask cost (~27 ms of the 77 ms flagship step). "
                         "Default off = exact reference torch-train-mode "
                         "semantics (train_model.py:191-194)")
+    p.add_argument("--carry_exposure", type=float, default=0.0,
+                   help="probability a train step uses the carried "
+                        "(TBPTT-split) window: segment 1 trains fresh, "
+                        "its stop-gradiented final hidden state seeds "
+                        "segment 2, exposing the pose core to the "
+                        "carried-state distribution streaming eval feeds "
+                        "it (the round-4 measured accuracy gap for "
+                        "cde/rde). 0 = exact reference semantics")
+    p.add_argument("--carry_split", type=int, default=0,
+                   help="boundary frame index k of the carried split "
+                        "(1..seq_len-2); 0 = midpoint")
     p.add_argument("--weight_decay", type=float, default=5e-5)
     p.add_argument("--epochs_warmup", type=int, default=20)
     p.add_argument("--epochs_joint", type=int, default=40)
@@ -291,6 +302,8 @@ def config_from_args(args) -> Config:
             gradient_clip=args.gradient_clip,
             freeze_encoder=args.freeze_encoder,
             frozen_encoder_eval=args.frozen_encoder_eval,
+            carry_exposure=args.carry_exposure,
+            carry_split=args.carry_split,
             seed=args.seed,
             print_frequency=args.print_frequency,
             ckpt_every=args.ckpt_every,

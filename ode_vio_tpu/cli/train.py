@@ -201,6 +201,20 @@ def main(argv=None):
     state = jax.device_put(state, replicated(mesh))
 
     train_step = make_train_step(model, tx, cfg)
+    if cfg.train.carry_exposure > 0.0:
+        # carried-state exposure: with probability carry_exposure a step
+        # trains the TBPTT-split window (fresh segment -> stop-grad carry
+        # -> carried segment), so the pose core sees the carried-state
+        # distribution streaming eval feeds it (TrainConfig.carry_exposure)
+        carried_step = make_train_step(model, tx, cfg, carry=True)
+        fresh_step = train_step
+        carry_rng = np.random.default_rng(cfg.train.seed + 0xCA44)
+
+        def train_step(state, *batch):  # noqa: F811 — deliberate wrap
+            if carry_rng.random() < cfg.train.carry_exposure:
+                return carried_step(state, *batch)
+            return fresh_step(state, *batch)
+
     # one compiled eval executable for the whole run: per-epoch weights are
     # swapped in with set_variables (jit arguments, no re-trace), with the
     # frozen BN statistics folded into the conv weights for the eval pass

@@ -249,6 +249,21 @@ class TrainConfig:
     # step (BENCH.md round 3). Off by default for exact reference
     # semantics; has no effect unless freeze_encoder is set.
     frozen_encoder_eval: bool = False
+    # Carried-state exposure (TBPTT-within-the-window). The reference
+    # always trains on fresh windows (ts re-based, z0/h0 from scratch:
+    # PoseCDE.py:81, PoseODERNN.py:100) yet evaluates STATEFULLY, carrying
+    # hidden state across windows (KITTI_eval.py:141) — so the carried-z
+    # distribution at eval is one the regressor never saw during training.
+    # Round-4 measurement (BENCH.md): that distribution shift is ~the
+    # entire streaming-accuracy gap for the CDE/RDE families. With
+    # probability ``carry_exposure`` a train step splits the window at
+    # boundary frame k (``carry_split``; 0 = midpoint): segment 1 trains
+    # the fresh regime, its final hidden state is stop-gradiented and
+    # seeds segment 2, which trains the carried regime — every ground
+    # truth still supervised, gradients truncated at the splice (TBPTT).
+    # 0.0 (default) = exact reference training semantics.
+    carry_exposure: float = 0.0
+    carry_split: int = 0         # boundary frame index k; 0 = (seq_len-1)//2
     seed: int = 0
     print_frequency: int = 10
     ckpt_every: int = 2          # save every N epochs (train_model.py:223)

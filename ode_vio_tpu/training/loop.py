@@ -187,9 +187,26 @@ def _sown_per_lane(inter, substr: str, batch: int) -> jnp.ndarray:
     return total
 
 
-def make_train_step(model, tx, cfg: Config) -> Callable:
+def make_train_step(model, tx, cfg: Config, carry: bool = False) -> Callable:
     """Build the jitted train step: (state, img, imu, gts, ts) ->
     (state, metrics). Donates the state for in-place device updates.
+
+    With ``carry=True`` the step trains the CARRIED regime (carried-state
+    exposure, cfg.train.carry_exposure): the window is split at boundary
+    frame ``k = cfg.train.carry_split or (S-1)//2``; segment 1 (pose steps
+    0..k-1) runs fresh exactly like a standard training window, its final
+    hidden state is stop-gradiented and seeds segment 2 (pose steps
+    k..S-2) as the streaming-eval carry would (KITTI_eval.py:141), and the
+    loss covers BOTH segments' poses against the full ground truth — a
+    TBPTT step truncated at the splice. The visual features are computed
+    once over the whole window (the pair-stacked trunk features of the two
+    segments are exactly slices of the full window's), so the extra cost
+    over the standard step is only the second pose-core launch. This
+    trains the pose core and regressor on the carried-z distribution that
+    stateful eval feeds them — the distribution shift measured in round 4
+    to be ~the entire streaming-accuracy gap of the CDE/RDE families
+    (BENCH.md); the reference has no counterpart (it always trains fresh
+    windows, PoseCDE.py:81, and pays for it at stateful eval).
 
     With ``freeze_encoder`` the image-encoder params are split out of the
     differentiated arguments, so XLA never builds the encoder backward at
@@ -265,6 +282,79 @@ def make_train_step(model, tx, cfg: Config) -> Callable:
         loss = w * angle + trans
         incomplete = _sum_sown(updates.get("intermediates", {}), "incomplete")
         return loss, (new_bs, angle, trans, incomplete)
+
+    if carry:
+        S = cfg.model.seq_len
+        k = cfg.train.carry_split or (S - 1) // 2
+        # the path-based cores interpolate over a segment's observations:
+        # a 1-knot path has zero interpolation segments, so cde/rde need
+        # >= 2 pose steps on each side of the splice
+        min_seg = 2 if cfg.model.model_type in ("cde", "rde") else 1
+        if not min_seg <= k <= S - 1 - min_seg:
+            raise ValueError(
+                f"carry_split={k} out of range [{min_seg}, "
+                f"{S - 1 - min_seg}] for model_type="
+                f"{cfg.model.model_type} at seq_len={S} (each segment "
+                f"needs >= {min_seg} pose steps)"
+            )
+
+        def carried_loss_fn(trainable, frozen, batch_stats, img, imu, gts,
+                            ts, rngs):
+            params = {**trainable, **frozen}
+            bs = dict(batch_stats)
+            r_img, r_p1, r_p2 = jax.random.split(rngs["dropout"], 3)
+            g1, g2 = jax.random.split(rngs["gumbel"])
+            # visual features once over the full window: consecutive-pair
+            # trunk features of the segments are slices of the window's
+            if frozen_eval:
+                folded = fold_batchnorm_into_bias({
+                    "params": frozen["image_encoder"],
+                    "batch_stats": bs.get("image_encoder", {}),
+                })
+                fv = eval_image_net.apply(
+                    {"params": folded["params"]}, img, train=False
+                )
+            else:
+                fv, upd = model.apply(
+                    {"params": params, "batch_stats": batch_stats}, img,
+                    train=True, rngs={"dropout": r_img},
+                    mutable=["batch_stats"],
+                    method=lambda m, x, train: m.image_net(x, train=train),
+                )
+                bs = {**bs, **dict(upd["batch_stats"])}
+            # segment 1 (pose steps 0..k-1): the fresh regime, exactly a
+            # standard (shorter) training window
+            (p1, hc), upd1 = model.apply(
+                {"params": params, "batch_stats": bs},
+                fv[:, :k], imu[:, : 10 * k + 1], ts[:, : k + 1],
+                train=True, rngs={"dropout": r_p1, "gumbel": g1},
+                mutable=["batch_stats", "intermediates"],
+                method="pose_from_visual",
+            )
+            bs = {**bs, **dict(upd1["batch_stats"])}
+            # splice: the carry crosses as data, not gradient (TBPTT)
+            hc = jax.tree_util.tree_map(jax.lax.stop_gradient, hc)
+            # segment 2 (pose steps k..S-2): the carried regime streaming
+            # eval runs (sequence clock, seeded hidden state)
+            (p2, _), upd2 = model.apply(
+                {"params": params, "batch_stats": bs},
+                fv[:, k:], imu[:, 10 * k:], ts[:, k:], hc=hc,
+                train=True, rngs={"dropout": r_p2, "gumbel": g2},
+                mutable=["batch_stats", "intermediates"],
+                method="pose_from_visual",
+            )
+            bs = {**bs, **dict(upd2["batch_stats"])}
+            poses = jnp.concatenate([p1, p2], axis=1)
+            angle = jnp.mean((poses[..., :3] - gts[..., :3]) ** 2)
+            trans = jnp.mean((poses[..., 3:] - gts[..., 3:]) ** 2)
+            loss = w * angle + trans
+            incomplete = (
+                _sum_sown(upd1.get("intermediates", {}), "incomplete")
+                + _sum_sown(upd2.get("intermediates", {}), "incomplete")
+            )
+            return loss, (bs, angle, trans, incomplete)
+
+        loss_fn = carried_loss_fn
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, img, imu, gts, ts):

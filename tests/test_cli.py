@@ -35,6 +35,10 @@ def test_train_then_test_cli(kitti_root, tmp_path):
     train_main(
         ["--data_dir", str(kitti_root), "--save_dir", str(save),
          "--experiment_name", "e2e", "--data_dropout", "0.2",
+         # exercise the carried-state-exposure step mix through the real
+         # driver (TrainConfig.carry_exposure; 0.5 -> both compiled steps
+         # run within the epoch)
+         "--carry_exposure", "0.5",
          *TINY_FLAGS]
     )
     ckpt_dir = save / "e2e" / "checkpoints"

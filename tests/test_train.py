@@ -367,6 +367,128 @@ class TestTrainStep:
         assert not same
 
 
+class TestCarryExposure:
+    """Carried-state exposure training (TrainConfig.carry_exposure): the
+    TBPTT-split step that trains the pose core on the carried-state
+    distribution streaming eval feeds it. The reference has no
+    counterpart — it always trains fresh windows (PoseCDE.py:81,
+    PoseODERNN.py:100) yet evaluates stateful (KITTI_eval.py:141); the
+    resulting distribution shift is the measured streaming-accuracy gap
+    of the CDE families (BENCH.md round 4)."""
+
+    @pytest.mark.parametrize("model_type", ["ode-rnn", "cde"])
+    def test_carried_step_trains(self, model_type):
+        import dataclasses
+
+        # cde needs >= 2 pose steps per segment (a 1-knot path has zero
+        # interpolation segments) -> seq_len 5; ode-rnn runs the suite's
+        # tiny seq_len 3
+        S = 5 if model_type == "cde" else 3
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model, model_type=model_type, cde_hidden_dim=8,
+                seq_len=S),
+            data=dataclasses.replace(cfg.data, seq_len=S),
+        )
+        model, tx, state = setup(cfg)
+        p0 = jax.tree_util.tree_map(np.asarray, state.params["pose_net"])
+        step = make_train_step(model, tx, cfg, carry=True)
+        rng = np.random.default_rng(0)
+        batch = (
+            jnp.asarray(rng.random((4, S, 32, 64, 3), np.float32) - 0.5),
+            jnp.asarray(rng.standard_normal((4, 10 * (S - 1) + 1, 6)),
+                        jnp.float32),
+            jnp.asarray(rng.standard_normal((4, S - 1, 6)) * 0.1,
+                        jnp.float32),
+            jnp.asarray(np.cumsum(
+                rng.random((4, S)).astype(np.float32) * 0.1, 1)),
+        )
+        losses = []
+        for _ in range(5):
+            state, m = step(state, *batch)
+            losses.append(float(m["loss"]))
+        assert all(np.isfinite(losses))
+        changed = not jax.tree_util.tree_all(jax.tree_util.tree_map(
+            lambda a, b: bool((np.asarray(b) == a).all()),
+            p0, state.params["pose_net"]))
+        assert changed
+        if model_type == "ode-rnn":
+            # the CDE field at random init is stiff/chaotic (BENCH.md
+            # round 3) — loss monotonicity is only a fair ask of ode-rnn
+            assert losses[-1] < losses[0]
+
+    def test_carried_matches_explicit_composition(self):
+        """The carried step's loss must equal composing the public model
+        pieces by hand with the step's own PRNG splits: full-window
+        visual features, fresh segment 1, stop-gradiented carry into
+        segment 2 on the sequence clock, loss over both segments."""
+        cfg = tiny_config()
+        model, tx, state = setup(cfg)
+        batch = tiny_batch()
+        img, imu, gts, ts = batch
+        w = cfg.train.angle_loss_weight
+        k = (cfg.model.seq_len - 1) // 2  # = 1 at seq_len 3
+
+        _, r_drop, r_gumbel = jax.random.split(state.rng, 3)
+        r_img, r_p1, r_p2 = jax.random.split(r_drop, 3)
+        g1, g2 = jax.random.split(r_gumbel)
+        variables = {
+            "params": jax.tree_util.tree_map(np.asarray, state.params),
+            "batch_stats": jax.tree_util.tree_map(
+                np.asarray, state.batch_stats),
+        }
+        fv, upd = model.apply(
+            variables, img, train=True, rngs={"dropout": r_img},
+            mutable=["batch_stats"],
+            method=lambda m, x, train: m.image_net(x, train=train),
+        )
+        bs = {**dict(variables["batch_stats"]), **dict(upd["batch_stats"])}
+        (p1, hc), upd1 = model.apply(
+            {"params": variables["params"], "batch_stats": bs},
+            fv[:, :k], imu[:, : 10 * k + 1], ts[:, : k + 1],
+            train=True, rngs={"dropout": r_p1, "gumbel": g1},
+            mutable=["batch_stats", "intermediates"],
+            method="pose_from_visual",
+        )
+        bs = {**bs, **dict(upd1["batch_stats"])}
+        (p2, _), _ = model.apply(
+            {"params": variables["params"], "batch_stats": bs},
+            fv[:, k:], imu[:, 10 * k:], ts[:, k:], hc=hc,
+            train=True, rngs={"dropout": r_p2, "gumbel": g2},
+            mutable=["batch_stats", "intermediates"],
+            method="pose_from_visual",
+        )
+        poses = jnp.concatenate([p1, p2], axis=1)
+        angle = jnp.mean((poses[..., :3] - gts[..., :3]) ** 2)
+        trans = jnp.mean((poses[..., 3:] - gts[..., 3:]) ** 2)
+        loss_manual = float(w * angle + trans)
+
+        step = make_train_step(model, tx, cfg, carry=True)
+        _, m = step(state, *batch)
+        np.testing.assert_allclose(float(m["loss"]), loss_manual,
+                                   rtol=1e-5, atol=1e-7)
+
+    def test_carried_step_differs_from_fresh(self):
+        """Same state, same batch: the carried step must compute a
+        different loss than the fresh step (the carried segment starts
+        from the segment-1 hidden state, not from scratch)."""
+        cfg = tiny_config()
+        model, tx, state_a = setup(cfg)
+        _, _, state_b = setup(cfg)
+        batch = tiny_batch()
+        _, mf = make_train_step(model, tx, cfg)(state_a, *batch)
+        _, mc = make_train_step(model, tx, cfg, carry=True)(state_b, *batch)
+        assert float(mf["loss"]) != pytest.approx(float(mc["loss"]))
+
+    def test_bad_split_rejected(self):
+        cfg = tiny_config(carry_split=2)  # seq_len 3 -> only k=1 is legal
+        model, tx, _ = setup(cfg)
+        with pytest.raises(ValueError, match="carry_split"):
+            make_train_step(model, tx, cfg, carry=True)
+
+
 class TestDataParallel:
     def test_sharded_step_matches_single_device(self):
         cfg = tiny_config()
