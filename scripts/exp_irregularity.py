@@ -59,7 +59,8 @@ def build_config(family: str):
 
 def train_family(family: str, root, epochs: int, dropout: float,
                  dropout_std: float, seed: int, lr: float = 1e-3,
-                 lr_fine: float | None = None):
+                 lr_fine: float | None = None,
+                 carry_exposure: float = 0.0):
     import jax
     import jax.numpy as jnp
 
@@ -82,6 +83,18 @@ def train_family(family: str, root, epochs: int, dropout: float,
         opt_state=set_learning_rate(state.opt_state, lr)
     )
     step = make_train_step(model, tx, cfg)
+    if carry_exposure > 0.0:
+        # carried-state exposure (TrainConfig.carry_exposure): with
+        # probability p a step trains the TBPTT-split window so the pose
+        # core sees the carried-state distribution streaming eval feeds it
+        fresh_step, carried_step = step, make_train_step(
+            model, tx, cfg, carry=True)
+        ce_rng = np.random.default_rng(seed + 0xCA44)
+
+        def step(state, *batch):
+            if ce_rng.random() < carry_exposure:
+                return carried_step(state, *batch)
+            return fresh_step(state, *batch)
 
     t0 = time.time()
     last_losses = []
@@ -196,6 +209,11 @@ def main():
                     help="streaming-eval statefulness to evaluate (the "
                          "reference's CDE/RDE eval is 'history'; 'carry' "
                          "is this repo's O(T) default)")
+    ap.add_argument("--carry_exposure", type=float, default=0.0,
+                    help="probability a train step uses the carried "
+                         "(TBPTT-split) window — trains the pose core on "
+                         "the carried-state distribution streaming eval "
+                         "feeds it (TrainConfig.carry_exposure)")
     ap.add_argument("--save_params", type=str, default=None,
                     help="directory to pickle each family's trained "
                          "variables into (re-evals without retraining)")
@@ -242,7 +260,7 @@ def main():
             model, variables = train_family(
                 family, root, args.epochs, args.train_dropout,
                 args.train_dropout_std, args.seed, lr=args.lr,
-                lr_fine=args.lr_fine)
+                lr_fine=args.lr_fine, carry_exposure=args.carry_exposure)
         if args.save_params:
             import jax
 
