@@ -179,10 +179,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "segment 2, exposing the pose core to the "
                         "carried-state distribution streaming eval feeds "
                         "it (the round-4 measured accuracy gap for "
-                        "cde/rde). 0 = exact reference semantics")
+                        "cde/rde). Targets 'carry'-mode streaming eval "
+                        "(--cde/rde_streaming_mode); in [0, 1], 0 = exact "
+                        "reference semantics")
     p.add_argument("--carry_split", type=int, default=0,
-                   help="boundary frame index k of the carried split "
-                        "(1..seq_len-2); 0 = midpoint")
+                   help="boundary frame index k of the carried split: "
+                        "1..seq_len-2 for ode-rnn/rnn/cfc/ltc, "
+                        "2..seq_len-3 for cde/rde (each segment needs "
+                        ">= 2 pose steps to interpolate a path); "
+                        "0 = midpoint")
     p.add_argument("--weight_decay", type=float, default=5e-5)
     p.add_argument("--epochs_warmup", type=int, default=20)
     p.add_argument("--epochs_joint", type=int, default=40)

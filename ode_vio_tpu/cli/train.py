@@ -105,6 +105,23 @@ def train_epoch(cfg, loader, train_step, state, mesh, logger, epoch,
     return state, float(np.mean([float(l) for l in losses])) if losses else 0.0
 
 
+def _exposure_step(fresh_step, carried_step, cfg: Config, epoch: int):
+    """Per-epoch Bernoulli dispatch between the fresh and the carried
+    (TBPTT-split) train step. The rng is derived from (seed, epoch) — the
+    same reconstructible-state rule as the loader rng in
+    ``get_train_loader`` — so a run resumed at epoch E makes exactly the
+    draws the uninterrupted run would have made at epoch E, preserving the
+    repo's split-run bitwise determinism (tests/test_cli.py)."""
+    rng = np.random.default_rng(cfg.train.seed * 100003 + epoch + 0xCA44)
+
+    def step(state, *batch):
+        if rng.random() < cfg.train.carry_exposure:
+            return carried_step(state, *batch)
+        return fresh_step(state, *batch)
+
+    return step
+
+
 def _warm_start_epoch(pretrain) -> int:
     """Epoch to resume at when warm-starting from a reference-layout
     checkpoint file. Upstream parses EXACTLY three trailing digits
@@ -201,19 +218,29 @@ def main(argv=None):
     state = jax.device_put(state, replicated(mesh))
 
     train_step = make_train_step(model, tx, cfg)
+    carried_step = None
     if cfg.train.carry_exposure > 0.0:
         # carried-state exposure: with probability carry_exposure a step
         # trains the TBPTT-split window (fresh segment -> stop-grad carry
         # -> carried segment), so the pose core sees the carried-state
-        # distribution streaming eval feeds it (TrainConfig.carry_exposure)
+        # distribution streaming eval feeds it (TrainConfig.carry_exposure).
+        # The Bernoulli dispatch is reseeded per epoch from (seed, epoch)
+        # inside the epoch loop — see _exposure_step — so a resumed run
+        # replays exactly the draws it would have made (the same
+        # reconstructible-state rule as get_train_loader's loader rng).
         carried_step = make_train_step(model, tx, cfg, carry=True)
-        fresh_step = train_step
-        carry_rng = np.random.default_rng(cfg.train.seed + 0xCA44)
-
-        def train_step(state, *batch):  # noqa: F811 — deliberate wrap
-            if carry_rng.random() < cfg.train.carry_exposure:
-                return carried_step(state, *batch)
-            return fresh_step(state, *batch)
+        if (cfg.model.model_type in ("cde", "rde")
+                and getattr(cfg.model, f"{cfg.model.model_type}"
+                            "_streaming_mode") != "carry"):
+            logger.warning(
+                "carry_exposure=%.2f targets 'carry'-mode streaming eval "
+                "(the carried regime seeds segment 2 with the previous "
+                "segment's final latent, exactly what "
+                "--%s_streaming_mode=carry feeds the core at eval); with "
+                "streaming mode %r the exposed distribution does not match "
+                "eval's", cfg.train.carry_exposure, cfg.model.model_type,
+                getattr(cfg.model, f"{cfg.model.model_type}_streaming_mode"),
+            )
 
     # one compiled eval executable for the whole run: per-epoch weights are
     # swapped in with set_variables (jit arguments, no re-trace), with the
@@ -252,9 +279,12 @@ def main(argv=None):
         logger.info("epoch %d lr %g", epoch, lr)
 
         loader = get_train_loader(cfg, epoch, logger)
+        step = train_step if carried_step is None else _exposure_step(
+            train_step, carried_step, cfg, epoch
+        )
         t0 = time.time()
         state, avg_loss = train_epoch(
-            cfg, loader, train_step, state, mesh, logger, epoch,
+            cfg, loader, step, state, mesh, logger, epoch,
             profile_dir=getattr(args, "profile_dir", None),
         )
         logger.info("epoch %d done: loss %.6f (%.1fs)", epoch, avg_loss,

@@ -269,6 +269,15 @@ class TrainConfig:
     ckpt_every: int = 2          # save every N epochs (train_model.py:223)
     angle_loss_weight: float = 100.0  # loss = 100*MSE(rot)+MSE(trans)
 
+    def __post_init__(self):
+        # carry_exposure is a probability: >1 would silently make every
+        # step carried and <0 would silently disable the feature
+        if not 0.0 <= self.carry_exposure <= 1.0:
+            raise ValueError(
+                f"carry_exposure={self.carry_exposure} must be a "
+                "probability in [0, 1]"
+            )
+
     @property
     def total_epochs(self) -> int:
         return self.epochs_warmup + self.epochs_joint + self.epochs_fine

@@ -206,7 +206,13 @@ def make_train_step(model, tx, cfg: Config, carry: bool = False) -> Callable:
     stateful eval feeds them — the distribution shift measured in round 4
     to be ~the entire streaming-accuracy gap of the CDE/RDE families
     (BENCH.md); the reference has no counterpart (it always trains fresh
-    windows, PoseCDE.py:81, and pays for it at stateful eval).
+    windows, PoseCDE.py:81, and pays for it at stateful eval). NB the
+    exposed distribution matches ``cde/rde_streaming_mode='carry'`` eval
+    (segment 2 seeded with the previous segment's final latent, the carry
+    of KITTI_eval.py:141): under 'history' eval the carried state is a
+    pinned/advanced z0 plus path re-integration, and under 'reset' eval
+    every window is fresh, so the exposure's benefit targets 'carry' mode
+    specifically (cli/train.py warns on a mismatched combination).
 
     With ``freeze_encoder`` the image-encoder params are split out of the
     differentiated arguments, so XLA never builds the encoder backward at

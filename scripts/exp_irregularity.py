@@ -82,19 +82,13 @@ def train_family(family: str, root, epochs: int, dropout: float,
     state = state.replace(
         opt_state=set_learning_rate(state.opt_state, lr)
     )
-    step = make_train_step(model, tx, cfg)
+    fresh_step = step = make_train_step(model, tx, cfg)
+    carried_step = None
     if carry_exposure > 0.0:
         # carried-state exposure (TrainConfig.carry_exposure): with
         # probability p a step trains the TBPTT-split window so the pose
         # core sees the carried-state distribution streaming eval feeds it
-        fresh_step, carried_step = step, make_train_step(
-            model, tx, cfg, carry=True)
-        ce_rng = np.random.default_rng(seed + 0xCA44)
-
-        def step(state, *batch):
-            if ce_rng.random() < carry_exposure:
-                return carried_step(state, *batch)
-            return fresh_step(state, *batch)
+        carried_step = make_train_step(model, tx, cfg, carry=True)
 
     t0 = time.time()
     last_losses = []
@@ -108,6 +102,17 @@ def train_family(family: str, root, epochs: int, dropout: float,
             )
             print(f"# {family} epoch {epoch}: lr -> {lr_fine}", flush=True)
         rng = np.random.default_rng(seed * 100003 + epoch)
+        if carried_step is not None:
+            # reseed the exposure dispatch per epoch from (seed, epoch) so
+            # the draw sequence is reconstructible after a resume (same
+            # rule as the loader rng above; ode_vio_tpu/cli/train.py)
+            ce_rng = np.random.default_rng(seed * 100003 + epoch + 0xCA44)
+
+            def step(state, *batch, _rng=ce_rng):
+                if _rng.random() < carry_exposure:
+                    return carried_step(state, *batch)
+                return fresh_step(state, *batch)
+
         ratio = float(np.clip(rng.normal(dropout, dropout_std), 0, 0.9))
         ds = KittiDataset(root, cfg.data.seq_len, ["00", "01"],
                           transform=Compose([Center()]),

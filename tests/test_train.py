@@ -471,22 +471,92 @@ class TestCarryExposure:
                                    rtol=1e-5, atol=1e-7)
 
     def test_carried_step_differs_from_fresh(self):
-        """Same state, same batch: the carried step must compute a
-        different loss than the fresh step (the carried segment starts
-        from the segment-1 hidden state, not from scratch)."""
+        """The carried step must differ from the SAME two-segment
+        composition with the carry dropped (hc=None) under IDENTICAL
+        per-segment PRNG splits. (Comparing against the plain fresh step
+        would prove nothing: the carried step consumes the dropout/gumbel
+        keys differently, so the losses would differ even if hc were
+        ignored entirely.)"""
         cfg = tiny_config()
-        model, tx, state_a = setup(cfg)
-        _, _, state_b = setup(cfg)
+        model, tx, state = setup(cfg)
         batch = tiny_batch()
-        _, mf = make_train_step(model, tx, cfg)(state_a, *batch)
-        _, mc = make_train_step(model, tx, cfg, carry=True)(state_b, *batch)
-        assert float(mf["loss"]) != pytest.approx(float(mc["loss"]))
+        img, imu, gts, ts = batch
+        w = cfg.train.angle_loss_weight
+        k = (cfg.model.seq_len - 1) // 2  # = 1 at seq_len 3
+
+        # the carried step's own PRNG splits (loop.py carried_loss_fn)
+        _, r_drop, r_gumbel = jax.random.split(state.rng, 3)
+        r_img, r_p1, r_p2 = jax.random.split(r_drop, 3)
+        g1, g2 = jax.random.split(r_gumbel)
+        variables = {
+            "params": jax.tree_util.tree_map(np.asarray, state.params),
+            "batch_stats": jax.tree_util.tree_map(
+                np.asarray, state.batch_stats),
+        }
+        fv, upd = model.apply(
+            variables, img, train=True, rngs={"dropout": r_img},
+            mutable=["batch_stats"],
+            method=lambda m, x, train: m.image_net(x, train=train),
+        )
+        bs = {**dict(variables["batch_stats"]), **dict(upd["batch_stats"])}
+        (p1, _hc), upd1 = model.apply(
+            {"params": variables["params"], "batch_stats": bs},
+            fv[:, :k], imu[:, : 10 * k + 1], ts[:, : k + 1],
+            train=True, rngs={"dropout": r_p1, "gumbel": g1},
+            mutable=["batch_stats", "intermediates"],
+            method="pose_from_visual",
+        )
+        bs = {**bs, **dict(upd1["batch_stats"])}
+        (p2, _), _ = model.apply(
+            {"params": variables["params"], "batch_stats": bs},
+            fv[:, k:], imu[:, 10 * k:], ts[:, k:], hc=None,  # carry DROPPED
+            train=True, rngs={"dropout": r_p2, "gumbel": g2},
+            mutable=["batch_stats", "intermediates"],
+            method="pose_from_visual",
+        )
+        poses = jnp.concatenate([p1, p2], axis=1)
+        angle = jnp.mean((poses[..., :3] - gts[..., :3]) ** 2)
+        trans = jnp.mean((poses[..., 3:] - gts[..., 3:]) ** 2)
+        loss_no_carry = float(w * angle + trans)
+
+        _, mc = make_train_step(model, tx, cfg, carry=True)(state, *batch)
+        assert float(mc["loss"]) != pytest.approx(loss_no_carry)
 
     def test_bad_split_rejected(self):
         cfg = tiny_config(carry_split=2)  # seq_len 3 -> only k=1 is legal
         model, tx, _ = setup(cfg)
         with pytest.raises(ValueError, match="carry_split"):
             make_train_step(model, tx, cfg, carry=True)
+
+    def test_carry_exposure_range_validated(self):
+        """carry_exposure is a probability; out-of-range values must be
+        rejected at config build, not silently saturate."""
+        with pytest.raises(ValueError, match="carry_exposure"):
+            tiny_config(carry_exposure=1.5)
+        with pytest.raises(ValueError, match="carry_exposure"):
+            tiny_config(carry_exposure=-0.1)
+
+    def test_exposure_dispatch_resumable(self):
+        """The fresh-vs-carried Bernoulli dispatch is reseeded per epoch
+        from (seed, epoch): a run resumed at epoch E replays exactly the
+        draws the uninterrupted run makes at epoch E (the round-4 advisor
+        finding: a run-lifetime rng would restart the sequence)."""
+        from ode_vio_tpu.cli.train import _exposure_step
+
+        cfg = tiny_config(carry_exposure=0.5)
+        fresh = lambda s, *b: (s, "fresh")      # noqa: E731
+        carried = lambda s, *b: (s, "carried")  # noqa: E731
+
+        def epoch_seq(epoch, n=16):
+            step = _exposure_step(fresh, carried, cfg, epoch)
+            return [step(None)[1] for _ in range(n)]
+
+        full_run = {e: epoch_seq(e) for e in range(3)}
+        resumed = {e: epoch_seq(e) for e in (1, 2)}  # resume at epoch 1
+        assert resumed == {e: full_run[e] for e in (1, 2)}
+        # and the dispatch actually mixes both regimes at p=0.5
+        flat = [x for seq in full_run.values() for x in seq]
+        assert {"fresh", "carried"} == set(flat)
 
 
 class TestDataParallel:
