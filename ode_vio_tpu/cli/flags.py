@@ -181,7 +181,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "it (the round-4 measured accuracy gap for "
                         "cde/rde). Targets 'carry'-mode streaming eval "
                         "(--cde/rde_streaming_mode); in [0, 1], 0 = exact "
-                        "reference semantics")
+                        "reference semantics. Measured (BENCH.md round "
+                        "5): mild rates help (cde ~0.2, rde ~0.5, "
+                        "10-25%% lower carry-mode t_rmse, stateless "
+                        "accuracy unchanged); higher rates degrade both "
+                        "modes")
     p.add_argument("--carry_split", type=int, default=0,
                    help="boundary frame index k of the carried split: "
                         "1..seq_len-2 for ode-rnn/rnn/cfc/ltc, "

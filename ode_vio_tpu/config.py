@@ -261,7 +261,12 @@ class TrainConfig:
     # the fresh regime, its final hidden state is stop-gradiented and
     # seeds segment 2, which trains the carried regime — every ground
     # truth still supervised, gradients truncated at the splice (TBPTT).
-    # 0.0 (default) = exact reference training semantics.
+    # 0.0 (default) = exact reference training semantics. Measured
+    # (BENCH.md round 5): mild rates (cde ~0.2, rde ~0.5) cut carry-mode
+    # streaming t_rmse 10-25 % at zero stateless cost; higher rates
+    # degrade both modes; no rate closes the carry-vs-reset gap (the
+    # carried open-loop-integral latent drifts with window index beyond
+    # any splice-exposable distribution — probe_carry_drift.py).
     carry_exposure: float = 0.0
     carry_split: int = 0         # boundary frame index k; 0 = (seq_len-1)//2
     seed: int = 0

@@ -213,6 +213,12 @@ def make_train_step(model, tx, cfg: Config, carry: bool = False) -> Callable:
     pinned/advanced z0 plus path re-integration, and under 'reset' eval
     every window is fresh, so the exposure's benefit targets 'carry' mode
     specifically (cli/train.py warns on a mismatched combination).
+    Measured effect (BENCH.md round 5): mild rates (cde ~0.2, rde ~0.5)
+    cut carry-mode streaming t_rmse 10-25 % with stateless accuracy
+    unchanged; higher rates degrade both modes, and no rate closes the
+    carry-vs-reset gap — the carried latent of the open-loop integral
+    families drifts with window index beyond what a single splice can
+    expose (scripts/probe_carry_drift.py).
 
     With ``freeze_encoder`` the image-encoder params are split out of the
     differentiated arguments, so XLA never builds the encoder backward at
