@@ -192,6 +192,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "2..seq_len-3 for cde/rde (each segment needs "
                         ">= 2 pose steps to interpolate a path); "
                         "0 = midpoint")
+    p.add_argument("--tbptt_chain", type=int, default=0,
+                   help="full-sequence TBPTT streaming training: windows "
+                        "arrive in sequence order (the eval-partition "
+                        "layout) and hidden state is carried across N "
+                        "consecutive train steps, then reset — trains the "
+                        "actual carried-state distribution streaming eval "
+                        "feeds the core (gradients still truncate at "
+                        "window boundaries). Mutually exclusive with "
+                        "--carry_exposure. 0 = off (reference semantics: "
+                        "shuffled fresh windows)")
     p.add_argument("--weight_decay", type=float, default=5e-5)
     p.add_argument("--epochs_warmup", type=int, default=20)
     p.add_argument("--epochs_joint", type=int, default=40)
@@ -313,6 +323,7 @@ def config_from_args(args) -> Config:
             frozen_encoder_eval=args.frozen_encoder_eval,
             carry_exposure=args.carry_exposure,
             carry_split=args.carry_split,
+            tbptt_chain=args.tbptt_chain,
             seed=args.seed,
             print_frequency=args.print_frequency,
             ckpt_every=args.ckpt_every,

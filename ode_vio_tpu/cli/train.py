@@ -29,6 +29,7 @@ from ode_vio_tpu.training.loop import (
     lr_for_epoch,
     make_infer_fn,
     make_optimizer,
+    make_streaming_train_step,
     make_train_step,
     set_learning_rate,
 )
@@ -57,10 +58,23 @@ def get_train_loader(cfg: Config, epoch: int, logger):
         cfg.data.data_dir, cfg.data.seq_len, cfg.data.train_seq,
         transform=None, dropout=ratio, rng=rng,
     )
-    sampler = BoundarySafeBatchSampler(
-        len(ds), cfg.train.batch_size, shuffle=cfg.data.shuffle,
-        seed=cfg.train.seed + epoch, drop_last=True,
-    )
+    if cfg.train.tbptt_chain:
+        # full-sequence TBPTT: sequence-ordered boundary-sharing windows
+        # in synchronized chains (training/loop.py::
+        # make_streaming_train_step); the epoch loop resets the carried
+        # state every tbptt_chain steps
+        from ode_vio_tpu.data.kitti import StreamingChainSampler
+
+        sampler = StreamingChainSampler(
+            ds.seq_num_windows, cfg.train.batch_size,
+            cfg.train.tbptt_chain, stride=cfg.data.seq_len - 1,
+            shuffle=cfg.data.shuffle, seed=cfg.train.seed + epoch,
+        )
+    else:
+        sampler = BoundarySafeBatchSampler(
+            len(ds), cfg.train.batch_size, shuffle=cfg.data.shuffle,
+            seed=cfg.train.seed + epoch, drop_last=True,
+        )
     return PrefetchingLoader(
         ds, sampler, (cfg.model.img_h, cfg.model.img_w), transform=aug,
         decode_threads=max(1, cfg.data.workers),
@@ -71,6 +85,8 @@ def train_epoch(cfg, loader, train_step, state, mesh, logger, epoch,
                 profile_dir=None):
     losses = []
     profiling = False
+    chain = cfg.train.tbptt_chain
+    hc = None
     for it, (imgs, imus, gts, ts) in enumerate(loader):
         if profile_dir and epoch == 0 and it == 1:  # skip the compile step
             jax.profiler.start_trace(profile_dir)
@@ -79,7 +95,14 @@ def train_epoch(cfg, loader, train_step, state, mesh, logger, epoch,
             mesh, (jnp.asarray(imgs), jnp.asarray(imus),
                    jnp.asarray(gts), jnp.asarray(ts))
         )
-        state, metrics = train_step(state, *batch)
+        if chain:
+            # streaming TBPTT: carry hidden state along the chain, reset
+            # at the sampler's synchronized chain boundaries
+            if it % chain == 0:
+                hc = None
+            state, metrics, hc = train_step(state, *batch, hc)
+        else:
+            state, metrics = train_step(state, *batch)
         losses.append(metrics["loss"])
         if profiling and it >= 4:
             jax.block_until_ready(metrics["loss"])
@@ -217,7 +240,17 @@ def main(argv=None):
 
     state = jax.device_put(state, replicated(mesh))
 
-    train_step = make_train_step(model, tx, cfg)
+    if cfg.train.tbptt_chain:
+        train_step = make_streaming_train_step(model, tx, cfg)
+        if cfg.data.hflip or cfg.data.color:
+            logger.warning(
+                "tbptt_chain=%d with per-window random augmentations "
+                "(--hflip/--color): augmentation draws are independent "
+                "per window, so a chain's carried state crosses "
+                "inconsistently-augmented windows", cfg.train.tbptt_chain,
+            )
+    else:
+        train_step = make_train_step(model, tx, cfg)
     carried_step = None
     if cfg.train.carry_exposure > 0.0:
         # carried-state exposure: with probability carry_exposure a step

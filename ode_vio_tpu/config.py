@@ -269,6 +269,15 @@ class TrainConfig:
     # any splice-exposable distribution — probe_carry_drift.py).
     carry_exposure: float = 0.0
     carry_split: int = 0         # boundary frame index k; 0 = (seq_len-1)//2
+    # Full-sequence TBPTT streaming training: windows arrive in sequence
+    # order (eval-partition layout) and the hidden state is carried
+    # across train steps for chains of ``tbptt_chain`` windows, then
+    # reset — training the ACTUAL nonstationary carried-state
+    # distribution streaming eval feeds the core, which single-splice
+    # carry_exposure measurably cannot (BENCH.md round 5;
+    # probe_carry_drift.py). Gradients still truncate at window
+    # boundaries (state crosses steps as data). 0 (default) = off.
+    tbptt_chain: int = 0
     seed: int = 0
     print_frequency: int = 10
     ckpt_every: int = 2          # save every N epochs (train_model.py:223)
@@ -281,6 +290,18 @@ class TrainConfig:
             raise ValueError(
                 f"carry_exposure={self.carry_exposure} must be a "
                 "probability in [0, 1]"
+            )
+        if self.tbptt_chain and self.carry_exposure > 0.0:
+            raise ValueError(
+                "tbptt_chain and carry_exposure are mutually exclusive: "
+                "full-sequence TBPTT trains the real carried-state "
+                "distribution; the single-splice exposure is its "
+                "within-window approximation"
+            )
+        if self.tbptt_chain == 1:
+            raise ValueError(
+                "tbptt_chain=1 never carries state (every step would be "
+                "a chain start); use 0 to disable or >= 2"
             )
 
     @property

@@ -228,3 +228,72 @@ def collate(batch_items) -> tuple:
     """Stack per-sample tuples into batched arrays."""
     cols = list(zip(*batch_items))
     return tuple(np.stack(c, 0) for c in cols)
+
+
+class StreamingChainSampler:
+    """Sequence-ordered chains of boundary-sharing windows for
+    full-sequence TBPTT training (training/loop.py::
+    make_streaming_train_step).
+
+    The standard sampler shuffles overlapping stride-1 windows — every
+    window trains fresh. Streaming eval instead walks stride-(S-1)
+    windows that share one boundary frame, carrying hidden state across
+    them (KITTI_eval.py:78-91, 141; data/evaluation.py::EvalPartition).
+    This sampler reproduces that layout at train time: from the stride-1
+    window list it selects, per sequence and per phase offset in
+    ``range(stride)``, the chain ``offset, offset+stride, ...`` —
+    consecutive chain windows are exactly the eval partition's
+    continuation windows.
+
+    Chains are cut into synchronized chunks of ``chain_len`` windows
+    (incomplete tails dropped) and chunks are epoch-shuffled into groups
+    of ``batch_size`` lanes. Iteration yields ``chain_len`` consecutive
+    batches per group; lane b of consecutive batches follows one chunk.
+    State resets are therefore GLOBAL and static-shaped: the trainer
+    passes ``hc=None`` whenever ``step % chain_len == 0`` and threads the
+    carried state otherwise — no per-lane reset masks, no dynamic
+    shapes, one compiled executable per (cold, carried) variant.
+
+    No batch ever straddles a sequence boundary, and no chain crosses
+    one (chains are built inside each sequence's window range).
+    """
+
+    def __init__(self, seq_num_windows: Sequence[int], batch_size: int,
+                 chain_len: int, stride: int, shuffle: bool = True,
+                 seed: int = 0):
+        if chain_len < 2:
+            raise ValueError(f"chain_len={chain_len} must be >= 2 "
+                             "(a 1-window chain never carries state)")
+        self.batch_size = batch_size
+        self.chain_len = chain_len
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+        chunks: List[List[int]] = []
+        first = 0
+        for n in seq_num_windows:
+            for off in range(min(stride, n)):
+                chain = list(range(first + off, first + n, stride))
+                for i in range(0, len(chain) - chain_len + 1, chain_len):
+                    chunks.append(chain[i: i + chain_len])
+            first += n
+        if len(chunks) < batch_size:
+            raise ValueError(
+                f"only {len(chunks)} chain chunks of {chain_len} windows "
+                f"(stride {stride}) exist — fewer than batch_size="
+                f"{batch_size}; shorten chain_len or the batch"
+            )
+        self.chunks = chunks
+
+    def __iter__(self):
+        order = np.arange(len(self.chunks))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        n_groups = len(order) // self.batch_size
+        for g in range(n_groups):
+            grp = [self.chunks[j]
+                   for j in order[g * self.batch_size:(g + 1) * self.batch_size]]
+            for k in range(self.chain_len):
+                yield [c[k] for c in grp]
+
+    def __len__(self) -> int:
+        return (len(self.chunks) // self.batch_size) * self.chain_len

@@ -407,6 +407,133 @@ def make_train_step(model, tx, cfg: Config, carry: bool = False) -> Callable:
     return train_step
 
 
+def make_streaming_train_step(model, tx, cfg: Config) -> Callable:
+    """Build the full-sequence TBPTT train step:
+    ``step(state, img, imu, gts, ts, hc) -> (state, metrics, hc_out)``.
+
+    The round-5 drift measurement (BENCH.md, scripts/probe_carry_drift.py)
+    showed why single-splice carried-state exposure cannot close the
+    CDE/RDE streaming gap: the carried latent at eval is NONSTATIONARY in
+    the window index (an open-loop integral grows ~linearly across the
+    sequence), so its distribution cannot be covered from inside one
+    window. This step trains the true regime instead: windows arrive in
+    sequence order (data/kitti.py::StreamingChainSampler — the eval
+    partition layout, consecutive windows sharing one boundary frame,
+    KITTI_eval.py:78-91), and the hidden state flows forward across
+    train steps exactly as streaming eval carries it (KITTI_eval.py:141).
+    Gradients truncate at window boundaries — ``hc`` enters as a plain
+    jit argument of the NEXT step, so no gradient flows into previous
+    windows (TBPTT with a window-length truncation horizon) — while the
+    STATE horizon is the chain length, arbitrarily long. The reference
+    has no counterpart (it always trains fresh shuffled windows).
+
+    ``hc=None`` starts a chain cold (identical semantics to the standard
+    fresh step, tested); otherwise pass the previous step's ``hc_out``.
+    The driver resets the carry every ``cfg.train.tbptt_chain`` steps,
+    where the sampler guarantees synchronized chain boundaries.
+
+    ``freeze_encoder`` / ``frozen_encoder_eval`` behave exactly as in
+    :func:`make_train_step` (split-out frozen subtree; optional BN-folded
+    inference-mode trunk).
+    """
+    w = cfg.train.angle_loss_weight
+    frozen_keys = ("image_encoder",) if cfg.train.freeze_encoder else ()
+    frozen_eval = (
+        cfg.train.freeze_encoder
+        and cfg.train.frozen_encoder_eval
+        and not (cfg.model.encoder_int8 or cfg.model.encoder_s2d
+                 or cfg.model.skip_bn)
+    )
+    if frozen_eval:
+        import dataclasses as _dc
+
+        from ode_vio_tpu.models.encoders import ImageEncoder
+        from ode_vio_tpu.models.fold import fold_batchnorm_into_bias
+
+        eval_image_net = ImageEncoder(_dc.replace(model.cfg, skip_bn=True))
+
+    def loss_fn(trainable, frozen, batch_stats, img, imu, gts, ts, rngs, hc):
+        params = {**trainable, **frozen}
+        if frozen_eval:
+            folded = fold_batchnorm_into_bias({
+                "params": frozen["image_encoder"],
+                "batch_stats": dict(batch_stats).get("image_encoder", {}),
+            })
+            fv = eval_image_net.apply(
+                {"params": folded["params"]}, img, train=False
+            )
+            (poses, h_T), updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                fv, imu, ts, hc=hc,
+                train=True,
+                rngs=rngs,
+                mutable=["batch_stats", "intermediates"],
+                method="pose_from_visual",
+            )
+            new_bs = {**dict(batch_stats),
+                      **dict(updates.get("batch_stats", {}))}
+        else:
+            (poses, h_T), updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                img, imu, ts, hc=hc,
+                train=True,
+                rngs=rngs,
+                mutable=["batch_stats", "intermediates"],
+            )
+            new_bs = updates["batch_stats"]
+        angle = jnp.mean((poses[..., :3] - gts[..., :3]) ** 2)
+        trans = jnp.mean((poses[..., 3:] - gts[..., 3:]) ** 2)
+        loss = w * angle + trans
+        incomplete = _sum_sown(updates.get("intermediates", {}), "incomplete")
+        return loss, (new_bs, angle, trans, incomplete, h_T)
+
+    def _step(state: TrainState, img, imu, gts, ts, hc):
+        rng, r_drop, r_gumbel = jax.random.split(state.rng, 3)
+        rngs = {"dropout": r_drop, "gumbel": r_gumbel}
+        trainable = {k: v for k, v in state.params.items()
+                     if k not in frozen_keys}
+        frozen = {k: v for k, v in state.params.items() if k in frozen_keys}
+        (loss, (new_bs, angle, trans, incomplete, h_T)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(
+                trainable, frozen, state.batch_stats, img, imu, gts, ts,
+                rngs, hc,
+            )
+        )
+        grads = {
+            **grads,
+            **jax.tree_util.tree_map(jnp.zeros_like, frozen),
+        }
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "angle_loss": angle,
+            "trans_loss": trans,
+            "grad_norm": optax.global_norm(grads),
+            "solver_incomplete": incomplete,
+        }
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_bs,
+            opt_state=opt_state,
+            rng=rng,
+        )
+        return new_state, metrics, h_T
+
+    step_cold = partial(jax.jit, donate_argnums=(0,))(
+        lambda state, img, imu, gts, ts: _step(state, img, imu, gts, ts, None)
+    )
+    step_carried = partial(jax.jit, donate_argnums=(0,))(_step)
+
+    def step(state, img, imu, gts, ts, hc=None):
+        if hc is None:
+            return step_cold(state, img, imu, gts, ts)
+        return step_carried(state, img, imu, gts, ts, hc)
+
+    return step
+
+
 def make_infer_fn(model, variables, fold_bn: bool = False) -> Callable:
     """Build the streaming-eval callable
     ``infer(imgs, imus, ts, carry) -> (poses, carry)`` with both the

@@ -60,7 +60,7 @@ def build_config(family: str):
 def train_family(family: str, root, epochs: int, dropout: float,
                  dropout_std: float, seed: int, lr: float = 1e-3,
                  lr_fine: float | None = None,
-                 carry_exposure: float = 0.0):
+                 carry_exposure: float = 0.0, tbptt_chain: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -82,7 +82,16 @@ def train_family(family: str, root, epochs: int, dropout: float,
     state = state.replace(
         opt_state=set_learning_rate(state.opt_state, lr)
     )
-    fresh_step = step = make_train_step(model, tx, cfg)
+    if tbptt_chain:
+        # full-sequence TBPTT (TrainConfig.tbptt_chain): sequence-ordered
+        # chains with state carried across steps — the true streaming
+        # regime, vs carry_exposure's single-splice approximation
+        from ode_vio_tpu.training.loop import make_streaming_train_step
+
+        stream_step = make_streaming_train_step(model, tx, cfg)
+        fresh_step = step = None
+    else:
+        fresh_step = step = make_train_step(model, tx, cfg)
     carried_step = None
     if carry_exposure > 0.0:
         # carried-state exposure (TrainConfig.carry_exposure): with
@@ -117,12 +126,26 @@ def train_family(family: str, root, epochs: int, dropout: float,
         ds = KittiDataset(root, cfg.data.seq_len, ["00", "01"],
                           transform=Compose([Center()]),
                           dropout=ratio, rng=rng)
-        sampler = BoundarySafeBatchSampler(
-            len(ds), cfg.train.batch_size, seed=seed + epoch, drop_last=True)
+        if tbptt_chain:
+            from ode_vio_tpu.data.kitti import StreamingChainSampler
+
+            sampler = StreamingChainSampler(
+                ds.seq_num_windows, cfg.train.batch_size, tbptt_chain,
+                stride=cfg.data.seq_len - 1, seed=seed + epoch)
+        else:
+            sampler = BoundarySafeBatchSampler(
+                len(ds), cfg.train.batch_size, seed=seed + epoch,
+                drop_last=True)
         losses = []
-        for idx in sampler:
+        hc = None
+        for it, idx in enumerate(sampler):
             b = collate([ds[i] for i in idx])
-            state, m = step(state, *map(jnp.asarray, b))
+            if tbptt_chain:
+                if it % tbptt_chain == 0:
+                    hc = None
+                state, m, hc = stream_step(state, *map(jnp.asarray, b), hc)
+            else:
+                state, m = step(state, *map(jnp.asarray, b))
             losses.append(m["loss"])
         losses = [float(l) for l in losses]
         if epoch == 0 or epoch == epochs - 1 or (epoch + 1) % 5 == 0:
@@ -219,6 +242,11 @@ def main():
                          "(TBPTT-split) window — trains the pose core on "
                          "the carried-state distribution streaming eval "
                          "feeds it (TrainConfig.carry_exposure)")
+    ap.add_argument("--tbptt", type=int, default=0,
+                    help="full-sequence TBPTT chain length: windows "
+                         "arrive in sequence order and hidden state is "
+                         "carried across N consecutive train steps "
+                         "(TrainConfig.tbptt_chain); 0 = off")
     ap.add_argument("--save_params", type=str, default=None,
                     help="directory to pickle each family's trained "
                          "variables into (re-evals without retraining)")
@@ -265,7 +293,8 @@ def main():
             model, variables = train_family(
                 family, root, args.epochs, args.train_dropout,
                 args.train_dropout_std, args.seed, lr=args.lr,
-                lr_fine=args.lr_fine, carry_exposure=args.carry_exposure)
+                lr_fine=args.lr_fine, carry_exposure=args.carry_exposure,
+                tbptt_chain=args.tbptt)
         if args.save_params:
             import jax
 

@@ -108,6 +108,21 @@ def test_train_then_test_cli(kitti_root, tmp_path):
     assert "image_encoder" in v2["params"]
 
 
+def test_tbptt_train_cli(kitti_root, tmp_path):
+    """Full-sequence TBPTT through the real driver: streaming chain
+    sampler + state-carrying train step + synchronized chain resets
+    (TrainConfig.tbptt_chain; loop.py::make_streaming_train_step)."""
+    from ode_vio_tpu.cli.train import main as train_main
+
+    save = tmp_path / "results"
+    train_main(
+        ["--data_dir", str(kitti_root), "--save_dir", str(save),
+         "--experiment_name", "tbptt", "--tbptt_chain", "2",
+         *TINY_FLAGS]
+    )
+    assert (save / "tbptt" / "checkpoints" / "epoch_000").exists()
+
+
 def test_batched_runs_cli_matches_sequential(kitti_root, tmp_path):
     """--batch_runs + --eval_dp: the run_times repetition loop fanned out
     as mesh-sharded batch lanes must reproduce the sequential protocol."""

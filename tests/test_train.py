@@ -559,6 +559,156 @@ class TestCarryExposure:
         assert {"fresh", "carried"} == set(flat)
 
 
+class TestStreamingTBPTT:
+    """Full-sequence TBPTT training (loop.py::make_streaming_train_step +
+    kitti.py::StreamingChainSampler): the round-5 answer to the measured
+    nonstationary carried-state distribution (BENCH.md round 5)."""
+
+    def test_cold_stream_step_matches_fresh_step(self):
+        """hc=None must reproduce the standard fresh step exactly (same
+        PRNG splits, same forward) — a chain start IS a fresh window."""
+        from ode_vio_tpu.training.loop import make_streaming_train_step
+
+        cfg = tiny_config()
+        model, tx, s1 = setup(cfg)
+        _, _, s2 = setup(cfg)
+        batch = tiny_batch()
+        _, mf = make_train_step(model, tx, cfg)(s1, *batch)
+        _, ms, hc = make_streaming_train_step(model, tx, cfg)(s2, *batch)
+        assert float(ms["loss"]) == pytest.approx(float(mf["loss"]),
+                                                  rel=1e-6)
+        assert hc is not None
+
+    @pytest.mark.parametrize("model_type", ["ode-rnn", "rnn", "cde"])
+    def test_carried_stream_matches_manual_composition(self, model_type):
+        """Step B fed step A's hc_out must equal composing the model by
+        hand with the step's own PRNG splits — and differ from the same
+        step with the carry dropped. For cde only the mechanism is
+        asserted (carried != cold, state threads): its random-init field
+        is stiff (every solve truncates at the train budget, BENCH.md
+        round 3), so the integral amplifies the plain-forward vs
+        VJP-forward compilation difference past any honest tolerance —
+        the measured spread across three compilations of the same
+        composition is ~1.6 %."""
+        from ode_vio_tpu.training.loop import make_streaming_train_step
+
+        import dataclasses
+
+        # cde solves over an interpolated path: give it the same S=5
+        # window the carried-split tests use (>= 2 interp segments)
+        S = 5 if model_type == "cde" else 3
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model, model_type=model_type, cde_hidden_dim=8,
+                seq_len=S),
+            data=dataclasses.replace(cfg.data, seq_len=S),
+        )
+
+        def batch_S(seed):
+            rng = np.random.default_rng(seed)
+            return (
+                jnp.asarray(rng.random((4, S, 32, 64, 3), np.float32) - 0.5),
+                jnp.asarray(rng.standard_normal((4, 10 * (S - 1) + 1, 6)),
+                            jnp.float32),
+                jnp.asarray(rng.standard_normal((4, S - 1, 6)) * 0.1,
+                            jnp.float32),
+                jnp.asarray(np.cumsum(
+                    rng.random((4, S)).astype(np.float32) * 0.1, 1)),
+            )
+
+        model, tx, state = setup(cfg)
+        step = make_streaming_train_step(model, tx, cfg)
+        bA, bB = batch_S(0), batch_S(1)
+        state, _, hc = step(state, *bA)
+
+        host = jax.device_get(state)
+
+        def fresh_copy():
+            return jax.tree_util.tree_map(jnp.asarray, host)
+
+        # manual composition with the step's PRNG discipline (jitted, so
+        # both sides run compiled numerics)
+        sh = fresh_copy()
+        _, r_drop, r_gumbel = jax.random.split(sh.rng, 3)
+        img, imu, gts, ts = bB
+
+        @jax.jit
+        def manual_loss(params, batch_stats, hc):
+            (poses, _), _ = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                img, imu, ts, hc=hc, train=True,
+                rngs={"dropout": r_drop, "gumbel": r_gumbel},
+                mutable=["batch_stats", "intermediates"],
+            )
+            w = cfg.train.angle_loss_weight
+            angle = jnp.mean((poses[..., :3] - gts[..., :3]) ** 2)
+            trans = jnp.mean((poses[..., 3:] - gts[..., 3:]) ** 2)
+            return w * angle + trans
+
+        loss_manual = float(manual_loss(sh.params, sh.batch_stats, hc))
+
+        _, m_carried, hc2 = step(fresh_copy(), *bB, hc)
+        _, m_cold, _ = step(fresh_copy(), *bB)
+        if model_type != "cde":  # see docstring
+            assert float(m_carried["loss"]) == pytest.approx(loss_manual,
+                                                             rel=1e-5)
+        assert float(m_carried["loss"]) != pytest.approx(
+            float(m_cold["loss"]))
+        assert hc2 is not None
+
+    def test_tbptt_flags_validated(self):
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            tiny_config(tbptt_chain=4, carry_exposure=0.2)
+        with pytest.raises(ValueError, match="tbptt_chain=1"):
+            tiny_config(tbptt_chain=1)
+
+
+class TestStreamingChainSampler:
+    def test_chain_layout(self):
+        from ode_vio_tpu.data.kitti import StreamingChainSampler
+
+        seq_windows, B, L, stride = [45, 33], 4, 3, 10
+        s = StreamingChainSampler(seq_windows, B, L, stride, seed=0)
+        batches = list(s)
+        assert len(batches) == len(s) > 0
+        assert len(batches) % L == 0
+        ranges, first = [], 0
+        for n in seq_windows:
+            ranges.append((first, first + n))
+            first += n
+        for g in range(0, len(batches), L):
+            for b in range(B):
+                # lane b follows one chain: consecutive batches advance by
+                # exactly the eval-partition stride
+                for k in range(1, L):
+                    assert batches[g + k][b] == batches[g + k - 1][b] + stride
+                # and the whole chain stays inside one sequence's windows
+                lo, hi = batches[g][b], batches[g + L - 1][b]
+                assert any(a <= lo and hi < z for a, z in ranges)
+
+    def test_epoch_reshuffles_but_keeps_chains(self):
+        from ode_vio_tpu.data.kitti import StreamingChainSampler
+
+        s = StreamingChainSampler([45, 33], 4, 3, 10, seed=0)
+        e1, e2 = list(s), list(s)
+        assert e1 != e2  # epoch reshuffle of chunks
+        # chain invariant holds in both epochs
+        for ep in (e1, e2):
+            for g in range(0, len(ep), 3):
+                for b in range(4):
+                    assert ep[g + 1][b] == ep[g][b] + 10
+
+    def test_validation(self):
+        from ode_vio_tpu.data.kitti import StreamingChainSampler
+
+        with pytest.raises(ValueError, match="chain_len"):
+            StreamingChainSampler([30], 4, 1, 10)
+        with pytest.raises(ValueError, match="chunks"):
+            StreamingChainSampler([12], 64, 2, 10)
+
+
 class TestDataParallel:
     def test_sharded_step_matches_single_device(self):
         cfg = tiny_config()
