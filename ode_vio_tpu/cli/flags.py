@@ -201,7 +201,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "feeds the core (gradients still truncate at "
                         "window boundaries). Mutually exclusive with "
                         "--carry_exposure. 0 = off (reference semantics: "
-                        "shuffled fresh windows)")
+                        "shuffled fresh windows). Measured (BENCH.md "
+                        "round 5): closes the cde/rde carry-mode "
+                        "streaming gap (t_rmse 6.54 -> 0.20 / 4.42 -> "
+                        "0.83 at N=8); do NOT use for ode-rnn/rnn/cfc "
+                        "(already stationary carry; chained training "
+                        "measurably loses accuracy)")
     p.add_argument("--weight_decay", type=float, default=5e-5)
     p.add_argument("--epochs_warmup", type=int, default=20)
     p.add_argument("--epochs_joint", type=int, default=40)

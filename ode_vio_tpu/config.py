@@ -277,6 +277,11 @@ class TrainConfig:
     # carry_exposure measurably cannot (BENCH.md round 5;
     # probe_carry_drift.py). Gradients still truncate at window
     # boundaries (state crosses steps as data). 0 (default) = off.
+    # Measured: closes the cde/rde carry-mode streaming gap (t_rmse
+    # 6.54 -> 0.20 / 4.42 -> 0.83 at chain 8, now tracking stateless
+    # eval); counterproductive for the recurrent-cell families
+    # (ode-rnn 0.071 -> 0.225), whose carried state is already
+    # stationary — chained windows only cost shuffle diversity.
     tbptt_chain: int = 0
     seed: int = 0
     print_frequency: int = 10
