@@ -57,6 +57,11 @@ def main():
                          "scan budget) — sweep to show the early-exit + "
                          "remat economics: cost should track ACTUAL steps, "
                          "not the budget, once lanes converge")
+    ap.add_argument("--tbptt", action="store_true",
+                    help="time the full-sequence TBPTT streaming step "
+                         "(make_streaming_train_step) in its steady-state "
+                         "carried variant instead of the standard fresh "
+                         "step — the marginal cost of state threading")
     args = ap.parse_args()
     B = args.batch
 
@@ -104,7 +109,20 @@ def main():
             tx = make_optimizer(cfg)
             state = create_train_state(cfg, variables, tx,
                                        jax.random.PRNGKey(1))
-            step = make_train_step(model, tx, cfg)
+            if args.tbptt:
+                from ode_vio_tpu.training.loop import (
+                    make_streaming_train_step,
+                )
+
+                sstep = make_streaming_train_step(model, tx, cfg)
+                hc_box = [None]
+
+                def step(state, img, imu, gts, ts):
+                    state, m, hc_box[0] = sstep(
+                        state, img, imu, gts, ts, hc_box[0])
+                    return state, m
+            else:
+                step = make_train_step(model, tx, cfg)
 
             def run(state, k):
                 m = None
@@ -118,7 +136,10 @@ def main():
                 return state, fetched
 
             t0 = time.perf_counter()
-            state, met = run(state, 1)  # compile + warm
+            # tbptt: 2 warm steps so BOTH compiled variants (cold chain
+            # start + carried) exist before timing; the slope then
+            # measures the steady-state carried step
+            state, met = run(state, 2 if args.tbptt else 1)
             compile_s = time.perf_counter() - t0
             K1, K2 = 2, 6
             samples = []
@@ -136,6 +157,7 @@ def main():
                 "family": fam, "train_ms_per_step": round(w * 1e3, 2),
                 "train_frames_per_sec": round(B * (S - 1) / w, 1),
                 "incomplete_per_step": met["solver_incomplete"],
+                "tbptt": args.tbptt,
                 "adjoint": args.adjoint, "frozen_eval": args.frozen_eval,
                 "batch": B, "cde_rtol": args.cde_rtol,
                 "budget": args.budget,

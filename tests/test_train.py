@@ -710,6 +710,30 @@ class TestStreamingChainSampler:
 
 
 class TestDataParallel:
+    def test_sharded_streaming_step_matches_single_device(self):
+        """TBPTT under data parallelism: the carried hidden state stays
+        lane-aligned when batches are sharded over the mesh — a chain's
+        lane b is the same window stream on every step, so hc shards
+        along the batch axis exactly like the inputs."""
+        from ode_vio_tpu.training.loop import make_streaming_train_step
+
+        cfg = tiny_config()
+        bA, bB = tiny_batch(B=8, seed=0), tiny_batch(B=8, seed=1)
+
+        model, tx, s1 = setup(cfg)
+        step1 = make_streaming_train_step(model, tx, cfg)
+        s1, _, hc1 = step1(s1, *bA)
+        _, m1, _ = step1(s1, *bB, hc1)
+
+        model2, tx2, s2 = setup(cfg)
+        mesh = create_mesh(8, 1)
+        step2 = make_streaming_train_step(model2, tx2, cfg)
+        s2, _, hc2 = step2(s2, *shard_batch(mesh, bA))
+        _, m2, _ = step2(s2, *shard_batch(mesh, bB), hc2)
+
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]),
+                                                  rel=1e-5)
+
     def test_sharded_step_matches_single_device(self):
         cfg = tiny_config()
         batch = tiny_batch(B=8)
