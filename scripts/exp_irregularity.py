@@ -82,6 +82,9 @@ def train_family(family: str, root, epochs: int, dropout: float,
     state = state.replace(
         opt_state=set_learning_rate(state.opt_state, lr)
     )
+    if tbptt_chain and carry_exposure > 0.0:
+        raise ValueError("--tbptt and --carry_exposure are mutually "
+                         "exclusive (TrainConfig.__post_init__ rationale)")
     if tbptt_chain:
         # full-sequence TBPTT (TrainConfig.tbptt_chain): sequence-ordered
         # chains with state carried across steps — the true streaming
