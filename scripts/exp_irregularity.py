@@ -27,6 +27,13 @@ architecture, data, budget and seeds:
 Run: ``PYTHONPATH=/root/repo:/root/.axon_site python -u
 scripts/exp_irregularity.py [--families ode-rnn rnn] [--epochs 15]``
 Emits one JSON line per (family, eval_dropout) and a summary table.
+
+Training-regime arms (BENCH.md round 5): ``--carry_exposure p``
+(single-splice TBPTT exposure — measured: mild rates help carry-mode
+streaming 10-25 %, no rate closes the gap) and ``--tbptt N``
+(full-sequence TBPTT chains — measured: CLOSES the cde/rde carry-mode
+streaming gap at N=8). ``--eval_modes carry history reset`` selects the
+streaming statefulness under eval.
 """
 
 from __future__ import annotations
